@@ -1,0 +1,19 @@
+import os
+import sys
+
+# Tests always run on CPU with 8 virtual devices so multi-chip sharding logic
+# is exercised without TPU hardware.  Must be set before jax is imported.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_ASSETS = "/root/reference/assets"
+
+
+def reference_asset(name: str) -> str:
+    return os.path.join(REFERENCE_ASSETS, name)
