@@ -1,0 +1,170 @@
+"""Renderer facade: progressive batched rendering with accumulation,
+checkpoint/resume, metrics and PNG export.
+
+Plays the role of the reference's Scene + RenderEngine (scene.rs:24-92,
+render_engine.rs:422-571): each call to `render_next_batch` traces one
+sample batch and folds it into the running mean; `render_all` drives every
+batch.  The accumulation image lives in HBM between batches; resume state
+(batch index + accumulation buffer) can be saved/loaded — an upgrade over
+the reference, which loses progress on exit.
+"""
+
+from __future__ import annotations
+
+import functools
+import time as _time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.compile import CompiledScene
+from ..ops import camera as cam_ops
+from ..utils.image import write_png
+from .arrays import upload_scene
+from .wavefront import render_batch
+
+# The reference seeds its host RNG with this fixed value
+# (render_engine.rs:116); we use it for the batch-time jitter stream.
+HOST_SEED = 485_674_845_675_491
+
+
+def get_batch_ray_times(sample_batches: int, seed: int = HOST_SEED) -> np.ndarray:
+    """Jittered stratified shutter times over [0,1], biased around cell
+    centers (render_engine.rs:700-710).  Uses numpy's PCG64 stream seeded
+    with the reference's fixed seed (the reference used ChaCha20; same
+    distribution, different stream — a documented deviation)."""
+    rng = np.random.default_rng(seed)
+    d = 1.0 / sample_batches
+    t_center = (np.arange(sample_batches) + 0.5) * d
+    jitter = rng.uniform(-0.5, 0.5, size=sample_batches)
+    return np.clip(t_center + jitter * d, 0.0, 1.0).astype(np.float32)
+
+
+@dataclass
+class RenderStats:
+    batches_done: int = 0
+    rays_traced: float = 0.0
+    render_seconds: float = 0.0
+
+    @property
+    def mrays_per_sec(self) -> float:
+        if self.render_seconds <= 0:
+            return 0.0
+        return self.rays_traced / self.render_seconds / 1e6
+
+
+class Renderer:
+    def __init__(
+        self,
+        compiled: CompiledScene,
+        camera_name: Optional[str] = None,
+        rows_per_tile: Optional[int] = None,
+        trace_builder=None,
+    ):
+        self.compiled = compiled
+        self.scene, self.static = upload_scene(compiled)
+        name = camera_name or compiled.render.camera
+        if name not in compiled.cameras:
+            raise KeyError(f"Camera {name} not found")
+        self.camera = cam_ops.build_camera_arrays(
+            compiled.cameras[name], self.static.width, self.static.height
+        )
+        self.batch_times = get_batch_ray_times(compiled.render.sample_batches)
+
+        if rows_per_tile is None:
+            # Budget ~1M rays per tile.
+            spp = max(1, self.static.sqrt_spp ** 2)
+            rows_per_tile = max(1, (1 << 20) // (self.static.width * spp))
+        self.rows_per_tile = min(rows_per_tile, self.static.height)
+
+        use_dof = compiled.cameras[name].aperture_size > 0.0
+        self._step = jax.jit(
+            functools.partial(
+                render_batch,
+                self.static,
+                rows_per_tile=self.rows_per_tile,
+                use_dof=use_dof,
+                trace_builder=trace_builder,
+            ),
+            static_argnames=(),
+            donate_argnums=(2,),  # accum
+        )
+
+        self.accum = jnp.zeros(
+            (self.static.height, self.static.width, 3), jnp.float32
+        )
+        self.current_batch = 0
+        self.stats = RenderStats()
+
+    # ------------------------------------------------------------- steps
+
+    def render_next_batch(self) -> bool:
+        """Trace one sample batch; returns False when all batches are done
+        (render_engine.rs:464-466 semantics)."""
+        if self.current_batch >= self.compiled.render.sample_batches:
+            return False
+        t0 = _time.perf_counter()
+        self.accum, rays = self._step(
+            self.scene,
+            self.camera,
+            self.accum,
+            jnp.int32(self.current_batch),
+            jnp.float32(self.batch_times[self.current_batch]),
+        )
+        rays = float(rays)  # blocks until the batch finishes
+        dt = _time.perf_counter() - t0
+        self.current_batch += 1
+        self.stats.batches_done += 1
+        self.stats.rays_traced += rays
+        self.stats.render_seconds += dt
+        return True
+
+    def render_all(self, progress=None) -> np.ndarray:
+        while self.render_next_batch():
+            if progress is not None:
+                progress(self.current_batch, self.compiled.render.sample_batches)
+        return self.image()
+
+    def image(self) -> np.ndarray:
+        """Current linear-light accumulation image [H,W,3]."""
+        return np.asarray(self.accum)
+
+    def save_png(self, path: str) -> None:
+        write_png(path, self.image())
+
+    # -------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self, path: str) -> None:
+        np.savez(
+            path,
+            accum=self.image(),
+            current_batch=self.current_batch,
+            width=self.static.width,
+            height=self.static.height,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        if (int(data["width"]), int(data["height"])) != (
+            self.static.width, self.static.height,
+        ):
+            raise ValueError("Checkpoint resolution does not match scene")
+        self.accum = jnp.asarray(data["accum"])
+        self.current_batch = int(data["current_batch"])
+
+    # ------------------------------------------------------------- resize
+
+    def update_image_size(self, width: int, height: int) -> "Renderer":
+        """Resize restarts progressive accumulation (render_engine.rs:397-414).
+        Returns a NEW renderer compiled for the new resolution."""
+        from ..models.compile import compile_scene  # local import, avoids cycle
+        import dataclasses
+
+        cs = dataclasses.replace(
+            self.compiled,
+            render=dataclasses.replace(self.compiled.render, width=width, height=height),
+        )
+        return Renderer(cs, rows_per_tile=None)

@@ -2,13 +2,19 @@ import os
 import sys
 
 # Tests always run on CPU with 8 virtual devices so multi-chip sharding logic
-# is exercised without TPU hardware.  Must be set before jax is imported.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# is exercised without TPU hardware.  The image's axon sitecustomize force-
+# registers the TPU backend regardless of JAX_PLATFORMS, so the platform is
+# pinned via jax.config instead (must happen before any computation).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
