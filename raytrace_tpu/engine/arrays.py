@@ -67,6 +67,8 @@ class SceneArrays(NamedTuple):
     sky_top: jnp.ndarray
     sky_bottom: jnp.ndarray
     sky_factor: jnp.ndarray
+    # BVH (empty [0,16] when tracing brute-force)
+    bvh_child_boxes: jnp.ndarray
 
 
 @dataclass(frozen=True)
@@ -83,9 +85,13 @@ class SceneStatic:
     sqrt_spp: int
     width: int
     height: int
+    # BVH geometry (0 leaves → brute-force tracer)
+    bvh_num_leaves: int = 0
+    bvh_leaf_size: int = 4
+    bvh_stack_depth: int = 0
 
 
-def upload_scene(cs: CompiledScene, sharding=None):
+def upload_scene(cs: CompiledScene, bvh=None, sharding=None):
     """CompiledScene (numpy) → (SceneArrays on device, SceneStatic)."""
     i32 = lambda x: jnp.asarray(x, jnp.int32)
     f32 = lambda x: jnp.asarray(x, jnp.float32)
@@ -121,6 +127,9 @@ def upload_scene(cs: CompiledScene, sharding=None):
         n_light_mat=i32(len(cs.light_emit)),
         sky_solid=f32(cs.sky_solid), sky_top=f32(cs.sky_top),
         sky_bottom=f32(cs.sky_bottom), sky_factor=f32(cs.sky_factor),
+        bvh_child_boxes=f32(
+            bvh.child_boxes if bvh is not None else np.zeros((0, 16), np.float32)
+        ),
     )
     if sharding is not None:
         arrays = jax.device_put(arrays, sharding)
@@ -136,5 +145,8 @@ def upload_scene(cs: CompiledScene, sharding=None):
         sqrt_spp=int(cs.render.sqrt_spp),
         width=int(cs.render.width),
         height=int(cs.render.height),
+        bvh_num_leaves=int(bvh.num_leaves) if bvh is not None else 0,
+        bvh_leaf_size=int(bvh.leaf_size) if bvh is not None else 4,
+        bvh_stack_depth=int(bvh.depth + 2) if bvh is not None else 0,
     )
     return arrays, static

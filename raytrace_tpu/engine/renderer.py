@@ -63,9 +63,19 @@ class Renderer:
         camera_name: Optional[str] = None,
         rows_per_tile: Optional[int] = None,
         trace_builder=None,
+        use_bvh: bool = True,
+        leaf_size: int = 4,
     ):
         self.compiled = compiled
-        self.scene, self.static = upload_scene(compiled)
+        bvh = None
+        if use_bvh:
+            from ..models.bvh_build import build_bvh, permute_soup
+
+            bvh = build_bvh(compiled, leaf_size=leaf_size)
+            compiled = permute_soup(compiled, bvh)
+            self.compiled = compiled
+        self.bvh = bvh
+        self.scene, self.static = upload_scene(compiled, bvh=bvh)
         name = camera_name or compiled.render.camera
         if name not in compiled.cameras:
             raise KeyError(f"Camera {name} not found")

@@ -195,8 +195,20 @@ def bounce_wavefront(
     return final.accumulated, final.state, final.rays_traced
 
 
-def make_trace_fn(static: SceneStatic, world_p: jnp.ndarray, chunk: int = 512):
-    """Brute-force closest-hit tracer over the world-space soup."""
+def make_trace_fn(static: SceneStatic, scene: SceneArrays, world_p: jnp.ndarray,
+                  chunk: int = 512):
+    """Default tracer: BVH when the scene was built with one, else the
+    brute-force sweep."""
+    if static.bvh_num_leaves > 0:
+        from ..ops.bvh import make_bvh_trace_fn
+
+        return make_bvh_trace_fn(
+            scene.bvh_child_boxes,
+            static.bvh_num_leaves,
+            static.bvh_leaf_size,
+            static.bvh_stack_depth,
+            world_p,
+        )
 
     def trace(o, d, alive):
         return intersect.intersect_brute_force(o, d, world_p, active=alive, chunk=chunk)
@@ -274,7 +286,7 @@ def render_batch(
     )
 
     if trace_builder is None:
-        trace_fn = make_trace_fn(static, world_p)
+        trace_fn = make_trace_fn(static, scene, world_p)
     else:
         trace_fn = trace_builder(static, scene, world_p)
 
