@@ -29,6 +29,12 @@ class SceneArrays(NamedTuple):
     tri_inst: jnp.ndarray
     tri_mat_type: jnp.ndarray
     tri_mat_index: jnp.ndarray
+    # analytic spheres
+    sph_center: jnp.ndarray
+    sph_radius: jnp.ndarray
+    sph_inst: jnp.ndarray
+    sph_mat_type: jnp.ndarray
+    sph_mat_index: jnp.ndarray
     # instances
     inst_t0: jnp.ndarray
     inst_t1: jnp.ndarray
@@ -80,6 +86,9 @@ class SceneStatic:
     has_lights: bool
     any_animated: bool
     num_triangles: int       # actual count (soup is padded beyond this)
+    num_spheres: int
+    has_tris: bool
+    has_spheres: bool
     num_instances: int
     max_ray_depth: int
     sqrt_spp: int
@@ -103,6 +112,9 @@ def upload_scene(cs: CompiledScene, bvh=None, sharding=None):
         tri_p=f32(cs.tri_p), tri_n=f32(cs.tri_n), tri_uv=f32(cs.tri_uv),
         tri_inst=i32(cs.tri_inst),
         tri_mat_type=i32(cs.tri_mat_type), tri_mat_index=i32(cs.tri_mat_index),
+        sph_center=f32(cs.sph_center), sph_radius=f32(cs.sph_radius),
+        sph_inst=i32(cs.sph_inst),
+        sph_mat_type=i32(cs.sph_mat_type), sph_mat_index=i32(cs.sph_mat_index),
         inst_t0=f32(cs.inst_t0), inst_t1=f32(cs.inst_t1),
         light_prob=f32(cs.light_prob), light_alias=i32(cs.light_alias),
         light_tri_p=f32(cs.light_tri_p),
@@ -140,6 +152,9 @@ def upload_scene(cs: CompiledScene, bvh=None, sharding=None):
         has_lights=bool(cs.light_count > 0 and cs.light_total_area > 0.0),
         any_animated=bool(cs.any_animated),
         num_triangles=int(cs.num_triangles),
+        num_spheres=int(cs.num_spheres),
+        has_tris=bool(cs.num_triangles > 0),
+        has_spheres=bool(cs.num_spheres > 0),
         num_instances=int(cs.num_instances),
         max_ray_depth=int(cs.render.max_ray_depth),
         sqrt_spp=int(cs.render.sqrt_spp),

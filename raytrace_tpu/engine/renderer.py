@@ -24,7 +24,6 @@ from ..models.compile import CompiledScene
 from ..ops import camera as cam_ops
 from ..utils.image import write_png
 from .arrays import upload_scene
-from .wavefront import render_batch
 
 # The reference seeds its host RNG with this fixed value
 # (render_engine.rs:116); we use it for the batch-time jitter stream.
@@ -63,12 +62,17 @@ class Renderer:
         camera_name: Optional[str] = None,
         rows_per_tile: Optional[int] = None,
         trace_builder=None,
-        use_bvh: bool = True,
+        use_bvh="auto",
         leaf_size: int = 4,
     ):
         self.compiled = compiled
         bvh = None
-        if use_bvh:
+        # BVH only pays for itself on big triangle sets (OBJ meshes, mesh-
+        # parity mode); small soups are faster as a dense sweep, and the
+        # analytic-sphere path needs no structure at all.
+        if use_bvh == "auto":
+            use_bvh = compiled.num_triangles > 8192
+        if use_bvh and compiled.num_triangles > 0:
             from ..models.bvh_build import build_bvh, permute_soup
 
             bvh = build_bvh(compiled, leaf_size=leaf_size)
@@ -85,22 +89,24 @@ class Renderer:
         self.batch_times = get_batch_ray_times(compiled.render.sample_batches)
 
         if rows_per_tile is None:
-            # Budget ~1M rays per tile.
+            # Budget ~512k rays per tile: big enough to saturate the chip,
+            # small enough that one dispatch stays well under any watchdog.
             spp = max(1, self.static.sqrt_spp ** 2)
-            rows_per_tile = max(1, (1 << 20) // (self.static.width * spp))
+            rows_per_tile = max(1, (1 << 19) // (self.static.width * spp))
         self.rows_per_tile = min(rows_per_tile, self.static.height)
 
         use_dof = compiled.cameras[name].aperture_size > 0.0
-        self._step = jax.jit(
+        from .wavefront import prepare_batch, render_tile_step
+
+        self._prepare = jax.jit(functools.partial(prepare_batch, self.static))
+        self._tile = jax.jit(
             functools.partial(
-                render_batch,
+                render_tile_step,
                 self.static,
                 rows_per_tile=self.rows_per_tile,
                 use_dof=use_dof,
                 trace_builder=trace_builder,
-            ),
-            static_argnames=(),
-            donate_argnums=(2,),  # accum
+            )
         )
 
         self.accum = jnp.zeros(
@@ -117,14 +123,22 @@ class Renderer:
         if self.current_batch >= self.compiled.render.sample_batches:
             return False
         t0 = _time.perf_counter()
-        self.accum, rays = self._step(
-            self.scene,
-            self.camera,
-            self.accum,
-            jnp.int32(self.current_batch),
-            jnp.float32(self.batch_times[self.current_batch]),
+        H, W = self.static.height, self.static.width
+        geom = self._prepare(
+            self.scene, jnp.float32(self.batch_times[self.current_batch])
         )
-        rays = float(rays)  # blocks until the batch finishes
+        tiles, ray_counts = [], []
+        for row0 in range(0, H, self.rows_per_tile):
+            tile, tr = self._tile(
+                self.scene, geom, self.camera,
+                jnp.int32(self.current_batch), jnp.int32(row0),
+            )
+            tiles.append(tile)
+            ray_counts.append(tr)
+        img = jnp.concatenate(tiles, axis=0)[:H]
+        b = jnp.float32(self.current_batch)
+        self.accum = (b * self.accum + img) / (b + 1.0)
+        rays = float(jnp.sum(jnp.stack(ray_counts)))  # blocks until done
         dt = _time.perf_counter() - t0
         self.current_batch += 1
         self.stats.batches_done += 1

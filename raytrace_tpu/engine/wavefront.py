@@ -2,18 +2,22 @@
 
 One sample batch = one jit'd call (`render_batch`):
 
-  1. interpolate instance transforms to the batch ray time and re-transform
-     the object-space triangle soup to world space (replaces TLAS refit),
+  1. interpolate instance transforms to the batch ray time; re-transform the
+     (non-sphere) triangle soup to world space and gather per-sphere
+     world-to-object matrices (this replaces the reference's TLAS refit,
+     acceleration.rs:91-115),
   2. sweep the image in row tiles with `lax.map`; each tile generates its
      pixel x sample wavefront and bounces it to termination inside a
      `lax.while_loop` with per-ray alive masks (the iterative rayColour loop
-     of ray_gen.glsl:457-541, across the whole wavefront at once, with no
-     host round-trips per bounce),
+     of ray_gen.glsl:457-541 across the whole wavefront, no host round-trips
+     per bounce),
   3. average samples and fold the batch into the running-mean accumulation
      image ((batch*prev + new)/(batch+1), ray_gen.glsl:597-603).
 
-Also counts rays actually traced (sum of alive lanes per bounce) for the
-Mrays/s metric.
+Geometry is traced through a unified HitRecord produced by the dense
+analytic-sphere sweep (ops/spheres.py), the dense triangle sweep
+(ops/intersect.py) and/or the BVH (ops/bvh.py), whichever the scene's
+static configuration enables.
 """
 
 from __future__ import annotations
@@ -25,21 +29,36 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import camera as cam_ops
-from ..ops import intersect, materials, nee, rng, transforms
+from ..ops import intersect, materials, nee, rng, spheres, transforms
 from ..ops.intersect import T_MAX, T_MIN
-from ..ops.materials import COSINE_PDF, LIGHT_PDF
+from ..ops.materials import LIGHT_PDF
 from .arrays import SceneArrays, SceneStatic
 
 
+class HitRecord(NamedTuple):
+    """Unified closest-hit result for a wavefront (ray_gen.glsl HitRecord +
+    material/instance ids resolved, common.glsl:98-102)."""
+
+    missed: jnp.ndarray     # [R] bool
+    t: jnp.ndarray          # [R]
+    p: jnp.ndarray          # [R,3] world hit position
+    n: jnp.ndarray          # [R,3] unit outward (data-side) normal
+    u: jnp.ndarray          # [R]
+    v: jnp.ndarray          # [R]
+    mat_type: jnp.ndarray   # [R]
+    mat_index: jnp.ndarray  # [R]
+    inst: jnp.ndarray       # [R] instance id of the hit primitive
+
+
 class BounceState(NamedTuple):
-    depth: jnp.ndarray        # remaining bounces (scalar i32)
-    state: jnp.ndarray        # [R] rng
-    ray_o: jnp.ndarray        # [R,3]
-    ray_d: jnp.ndarray        # [R,3]
-    throughput: jnp.ndarray   # [R,3]
-    accumulated: jnp.ndarray  # [R,3]
-    alive: jnp.ndarray        # [R] bool
-    rays_traced: jnp.ndarray  # scalar i64-ish f32 counter
+    depth: jnp.ndarray
+    state: jnp.ndarray
+    ray_o: jnp.ndarray
+    ray_d: jnp.ndarray
+    throughput: jnp.ndarray
+    accumulated: jnp.ndarray
+    alive: jnp.ndarray
+    rays_traced: jnp.ndarray
 
 
 def _background(static: SceneStatic, scene: SceneArrays, n: int):
@@ -56,19 +75,118 @@ def _background(static: SceneStatic, scene: SceneArrays, n: int):
     return jnp.broadcast_to(col, (n, 3))
 
 
+def make_trace_fn(static: SceneStatic, scene: SceneArrays,
+                  inst_mats: transforms.InstanceMatrices,
+                  world_p, world_n):
+    """Build the unified closest-hit tracer for this batch.
+
+    Returns trace(o, d, alive) -> HitRecord.  Each enabled geometry family
+    is swept and the nearest hit wins; disabled families cost nothing
+    (static specialization).
+    """
+    use_tris = static.has_tris
+    use_spheres = static.has_spheres
+    sph_w2o = inst_mats.world_to_object[scene.sph_inst] if use_spheres else None
+
+    def trace(o, d, alive) -> HitRecord:
+        R = o.shape[0]
+        t_best = jnp.full((R,), T_MAX, jnp.float32)
+
+        tri_hit = None
+        if use_tris:
+            if static.bvh_num_leaves > 0:
+                from ..ops.bvh import BVHArrays, pack_world_tris, traverse
+
+                v0, e1, e2 = pack_world_tris(world_p)
+                tri_hit = traverse(
+                    BVHArrays(scene.bvh_child_boxes, v0, e1, e2),
+                    static.bvh_num_leaves, static.bvh_leaf_size,
+                    static.bvh_stack_depth, o, d, active=alive,
+                )
+            else:
+                tri_hit = intersect.intersect_brute_force(
+                    o, d, world_p, active=alive,
+                    chunk=min(512, world_p.shape[0]),
+                )
+            t_best = tri_hit.t
+
+        sph_hit = None
+        if use_spheres:
+            sph_hit = spheres.intersect_spheres(
+                o, d, scene.sph_center, scene.sph_radius, sph_w2o,
+                active=alive, chunk=min(128, scene.sph_center.shape[0]),
+            )
+            t_best = jnp.minimum(t_best, sph_hit.t)
+
+        missed = t_best >= T_MAX
+
+        # --- triangle attributes (barycentric over world-space soup)
+        if use_tris:
+            tri = jnp.maximum(tri_hit.tri, 0)
+            w = 1.0 - tri_hit.u - tri_hit.v
+            bary = jnp.stack([w, tri_hit.u, tri_hit.v], axis=-1)
+            tp = world_p[tri]
+            tn = world_n[tri]
+            tuv = scene.tri_uv[tri]
+            tri_p_hit = jnp.einsum("rv,rvi->ri", bary, tp)
+            tri_n_hit = jnp.einsum("rv,rvi->ri", bary, tn)
+            tri_n_hit = tri_n_hit / jnp.maximum(
+                jnp.linalg.norm(tri_n_hit, axis=-1, keepdims=True), 1e-20
+            )
+            tri_uv_hit = jnp.einsum("rv,rvi->ri", bary, tuv)
+
+        # --- sphere attributes (closed form)
+        if use_spheres:
+            sp, sn, su, sv = spheres.sphere_hit_attributes(
+                o, d, sph_hit.t, sph_hit.sph,
+                scene.sph_center, scene.sph_radius, sph_w2o, scene.sph_inst,
+            )
+            sid = jnp.maximum(sph_hit.sph, 0)
+
+        if use_tris and use_spheres:
+            sphere_wins = sph_hit.t < tri_hit.t
+            sel = lambda a, b: jnp.where(sphere_wins[:, None], a, b)
+            sel1 = lambda a, b: jnp.where(sphere_wins, a, b)
+            return HitRecord(
+                missed=missed,
+                t=t_best,
+                p=sel(sp, tri_p_hit),
+                n=sel(sn, tri_n_hit),
+                u=sel1(su, tri_uv_hit[:, 0]),
+                v=sel1(sv, tri_uv_hit[:, 1]),
+                mat_type=sel1(scene.sph_mat_type[sid], scene.tri_mat_type[tri]),
+                mat_index=sel1(scene.sph_mat_index[sid], scene.tri_mat_index[tri]),
+                inst=sel1(scene.sph_inst[sid], scene.tri_inst[tri]),
+            )
+        if use_spheres:
+            return HitRecord(
+                missed=missed, t=t_best, p=sp, n=sn, u=su, v=sv,
+                mat_type=scene.sph_mat_type[sid],
+                mat_index=scene.sph_mat_index[sid],
+                inst=scene.sph_inst[sid],
+            )
+        return HitRecord(
+            missed=missed, t=t_best, p=tri_p_hit, n=tri_n_hit,
+            u=tri_uv_hit[:, 0], v=tri_uv_hit[:, 1],
+            mat_type=scene.tri_mat_type[tri],
+            mat_index=scene.tri_mat_index[tri],
+            inst=scene.tri_inst[tri],
+        )
+
+    return trace
+
+
 def bounce_wavefront(
     static: SceneStatic,
     scene: SceneArrays,
     trace_fn: Callable,
     inst_mats: transforms.InstanceMatrices,
-    world_p: jnp.ndarray,
-    world_n: jnp.ndarray,
     state: jnp.ndarray,
     ray_o: jnp.ndarray,
     ray_d: jnp.ndarray,
 ):
     """Run the full bounce loop for a wavefront; returns (radiance [R,3],
-    rng state, rays_traced scalar)."""
+    rng state, rays_traced scalar) — the rayColour loop (ray_gen.glsl:457-541)."""
     R = ray_o.shape[0]
 
     init = BounceState(
@@ -86,55 +204,45 @@ def bounce_wavefront(
         return (s.depth > 0) & jnp.any(s.alive)
 
     def body(s: BounceState) -> BounceState:
-        hit = trace_fn(s.ray_o, s.ray_d, s.alive)
+        rec = trace_fn(s.ray_o, s.ray_d, s.alive)
         rays_traced = s.rays_traced + jnp.sum(s.alive.astype(jnp.float32))
 
-        missed = s.alive & hit.missed
+        missed = s.alive & rec.missed
         bg = _background(static, scene, R)
         accumulated = s.accumulated + jnp.where(
             missed[:, None], s.throughput * bg, 0.0
         )
-        alive = s.alive & ~hit.missed
+        alive = s.alive & ~rec.missed
 
-        # --- unpack the hit (ray_gen.glsl:142-180): barycentric interpolation
-        # over the pre-transformed world-space soup.
-        tri = jnp.maximum(hit.tri, 0)
-        w = 1.0 - hit.u - hit.v
-        bary = jnp.stack([w, hit.u, hit.v], axis=-1)        # [R,3]
-        tp = world_p[tri]                                    # [R,3,3]
-        tn = world_n[tri]
-        tuv = scene.tri_uv[tri]                              # [R,3,2]
-        hit_p = jnp.einsum("rv,rvi->ri", bary, tp)
-        nrm = jnp.einsum("rv,rvi->ri", bary, tn)
-        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
-        uv = jnp.einsum("rv,rvi->ri", bary, tuv)
-        front = jnp.sum(s.ray_d * nrm, axis=-1) < 0.0        # common.glsl:239-241
-        normal = jnp.where(front[:, None], nrm, -nrm)
+        front = jnp.sum(s.ray_d * rec.n, axis=-1) < 0.0   # common.glsl:239-241
+        normal = jnp.where(front[:, None], rec.n, -rec.n)
 
-        mat_type = jnp.where(alive, scene.tri_mat_type[tri], 0)
-        mat_index = scene.tri_mat_index[tri]
+        mat_type = jnp.where(alive, rec.mat_type, 0)
+        mat_index = rec.mat_index
 
         # --- emission (ray_gen.glsl:499-500)
         emit = materials.calculate_emission(
-            scene, static.flags, mat_type, mat_index, hit_p, front, uv[:, 0], uv[:, 1]
+            scene, static.flags, mat_type, mat_index, rec.p, front, rec.u, rec.v
         )
         accumulated = accumulated + jnp.where(alive[:, None], s.throughput * emit, 0.0)
 
         # --- scatter (ray_gen.glsl:503-506)
         rstate, srec = materials.calculate_scatter(
             s.state, scene, static.flags, mat_type, mat_index,
-            hit_p, normal, front, uv[:, 0], uv[:, 1], s.ray_d,
+            rec.p, normal, front, rec.u, rec.v, s.ray_d,
         )
         alive = alive & srec.is_scattered
 
         if static.has_lights:
             # --- NEE / MIS path (ray_gen.glsl:516-537)
-            hit_o2w = inst_mats.object_to_world[scene.tri_inst[tri]]
+            hit_o2w = inst_mats.object_to_world[rec.inst]
             rstate, light = nee.sample_light_sources(rstate, scene, hit_o2w)
             rstate, chosen = nee.choose_mixture_pdf(
                 rstate, srec.mat_pdf_type, static.has_lights
             )
-            rstate, sdir = nee.gen_scatter_direction(rstate, chosen, hit_p, normal, light)
+            rstate, sdir = nee.gen_scatter_direction(
+                rstate, chosen, rec.p, normal, light
+            )
             scatter_pdf = nee.pdf_value(
                 srec.mat_pdf_type, sdir, normal, light, scene.light_total_area
             )
@@ -143,21 +251,24 @@ def bounce_wavefront(
                 scene.light_total_area,
             )
             pdf_value = 0.5 * light_pdf + 0.5 * scatter_pdf
-            ratio = jnp.where(pdf_value > 0.0, scatter_pdf / jnp.where(pdf_value == 0.0, 1.0, pdf_value), 0.0)
+            ratio = jnp.where(
+                pdf_value > 0.0,
+                scatter_pdf / jnp.where(pdf_value == 0.0, 1.0, pdf_value),
+                0.0,
+            )
             mis_throughput = s.throughput * srec.attenuation * ratio[:, None]
             sd_norm = jnp.maximum(jnp.linalg.norm(sdir, axis=-1, keepdims=True), 1e-20)
             mis_dir = sdir / sd_norm
         else:
-            # No lights: pdfValue == scatteringPdf, the ratio cancels to 1
-            # (ray_gen.glsl:523-525 with the mixture branch disabled) except
-            # when the cosine pdf is exactly 0 (grazing sample) where the
-            # reference would produce 0/0; we emit 0 (guarded).
+            # No lights: pdfValue == scatteringPdf and the ratio cancels to 1
+            # except where the cosine pdf is exactly 0 (the reference's 0/0;
+            # guarded to 0 here).
             rstate, chosen = nee.choose_mixture_pdf(rstate, srec.mat_pdf_type, False)
             dummy_light = nee.LightSample(
-                position=jnp.zeros_like(hit_p), normal=jnp.zeros_like(hit_p)
+                position=jnp.zeros_like(rec.p), normal=jnp.zeros_like(rec.p)
             )
             rstate, sdir = nee.gen_scatter_direction(
-                rstate, chosen, hit_p, normal, dummy_light
+                rstate, chosen, rec.p, normal, dummy_light
             )
             scatter_pdf = nee.pdf_value(
                 srec.mat_pdf_type, sdir, normal, dummy_light, jnp.float32(1.0)
@@ -167,16 +278,13 @@ def bounce_wavefront(
             sd_norm = jnp.maximum(jnp.linalg.norm(sdir, axis=-1, keepdims=True), 1e-20)
             mis_dir = sdir / sd_norm
 
-        # --- select between skip-pdf (specular) and MIS paths
         use_skip = srec.skip_pdf
         new_throughput = jnp.where(
-            use_skip[:, None],
-            s.throughput * srec.attenuation,
-            mis_throughput,
+            use_skip[:, None], s.throughput * srec.attenuation, mis_throughput
         )
         new_dir = jnp.where(use_skip[:, None], srec.skip_dir, mis_dir)
 
-        ray_o = jnp.where(alive[:, None], hit_p, s.ray_o)
+        ray_o = jnp.where(alive[:, None], rec.p, s.ray_o)
         ray_d = jnp.where(alive[:, None], new_dir, s.ray_d)
         throughput = jnp.where(alive[:, None], new_throughput, s.throughput)
 
@@ -195,51 +303,39 @@ def bounce_wavefront(
     return final.accumulated, final.state, final.rays_traced
 
 
-def make_trace_fn(static: SceneStatic, scene: SceneArrays, world_p: jnp.ndarray,
-                  chunk: int = 512):
-    """Default tracer: BVH when the scene was built with one, else the
-    brute-force sweep."""
-    if static.bvh_num_leaves > 0:
-        from ..ops.bvh import make_bvh_trace_fn
-
-        return make_bvh_trace_fn(
-            scene.bvh_child_boxes,
-            static.bvh_num_leaves,
-            static.bvh_leaf_size,
-            static.bvh_stack_depth,
-            world_p,
-        )
-
-    def trace(o, d, alive):
-        return intersect.intersect_brute_force(o, d, world_p, active=alive, chunk=chunk)
-
-    return trace
-
-
 def render_tile(
     static: SceneStatic,
     scene: SceneArrays,
     cam: cam_ops.CameraArrays,
     trace_fn,
     inst_mats,
-    world_p,
-    world_n,
     sample_batch,
     row0,
     rows_per_tile: int,
     use_dof: bool,
+    spp_local: int = 0,
+    sample_base=0,
+    reduce_mean: bool = True,
 ):
-    """Render `rows_per_tile` pixel rows x width x spp samples; returns the
-    tile image [rows, W, 3] (sample-averaged) and rays-traced count."""
+    """Render `rows_per_tile` pixel rows x width x spp_local samples.
+
+    spp_local/sample_base support sample-axis sharding across chips: a shard
+    renders samples [sample_base, sample_base+spp_local) of the pixel's spp
+    grid.  With reduce_mean the tile is averaged over local samples (single
+    chip); otherwise the per-sample SUM is returned for a cross-chip psum.
+    Returns (tile [rows, W, 3], rays-traced count).
+    """
     W = static.width
     sqrt_spp = static.sqrt_spp
     spp = sqrt_spp * sqrt_spp
+    if spp_local == 0:
+        spp_local = spp
 
-    n_rays = rows_per_tile * W * spp
+    n_rays = rows_per_tile * W * spp_local
     ray_ids = jnp.arange(n_rays, dtype=jnp.uint32)
 
-    s = ray_ids % spp
-    pix = ray_ids // spp
+    s = ray_ids % spp_local + jnp.uint32(sample_base)
+    pix = ray_ids // spp_local
     px = pix % W
     py = row0.astype(jnp.uint32) + pix // W
     si = (s % sqrt_spp).astype(jnp.int32)
@@ -253,55 +349,64 @@ def render_tile(
     )
 
     radiance, state, rays_traced = bounce_wavefront(
-        static, scene, trace_fn, inst_mats, world_p, world_n, state, ray_o, ray_d
+        static, scene, trace_fn, inst_mats, state, ray_o, ray_d
     )
 
-    tile = radiance.reshape(rows_per_tile, W, spp, 3).mean(axis=2)
+    tile = radiance.reshape(rows_per_tile, W, spp_local, 3)
+    tile = tile.mean(axis=2) if reduce_mean else tile.sum(axis=2)
     return tile, rays_traced
 
 
-def render_batch(
+class BatchGeometry(NamedTuple):
+    """Per-batch world-space geometry (the refit product)."""
+
+    inst_mats: transforms.InstanceMatrices
+    world_p: jnp.ndarray   # [T,3,3] (dummy [1,3,3] when no triangles)
+    world_n: jnp.ndarray
+
+
+def prepare_batch(static: SceneStatic, scene: SceneArrays,
+                  batch_time: jnp.ndarray) -> BatchGeometry:
+    """Interpolate instance transforms to the batch ray time and re-transform
+    the triangle soup — the replacement for the reference's per-batch TLAS
+    refit (acceleration.rs:91-115).  One jit'd call per batch."""
+    inst_mats = transforms.interpolate_instances(
+        scene.inst_t0, scene.inst_t1, batch_time
+    )
+    if static.has_tris:
+        world_p, world_n = transforms.transform_soup(
+            scene.tri_p, scene.tri_n, scene.tri_inst, inst_mats
+        )
+    else:
+        world_p = world_n = jnp.zeros((1, 3, 3), jnp.float32)
+    return BatchGeometry(inst_mats=inst_mats, world_p=world_p, world_n=world_n)
+
+
+def render_tile_step(
     static: SceneStatic,
     scene: SceneArrays,
+    geom: BatchGeometry,
     cam: cam_ops.CameraArrays,
-    accum: jnp.ndarray,
     sample_batch: jnp.ndarray,
-    batch_time: jnp.ndarray,
+    row0: jnp.ndarray,
     rows_per_tile: int,
     use_dof: bool = False,
     trace_builder=None,
 ):
-    """One full progressive batch; returns (new accum [H,W,3], rays traced).
+    """One jit'd dispatch: render a tile of pixel rows for one batch.
 
-    `trace_builder(static, scene, world_p)` may supply a BVH tracer; defaults
-    to the brute-force sweep.
+    Kept to a bounded ray count per dispatch — the moral equivalent of the
+    reference's <=64 spp / <=32 batch guidance against GPU timeouts
+    (ray_gen.glsl:68-74); long-running single dispatches can trip device
+    watchdogs here too.
     """
-    H, W = static.height, static.width
-
-    inst_mats = transforms.interpolate_instances(
-        scene.inst_t0, scene.inst_t1, batch_time
-    )
-    world_p, world_n = transforms.transform_soup(
-        scene.tri_p, scene.tri_n, scene.tri_inst, inst_mats
-    )
-
     if trace_builder is None:
-        trace_fn = make_trace_fn(static, scene, world_p)
+        trace_fn = make_trace_fn(static, scene, geom.inst_mats,
+                                 geom.world_p, geom.world_n)
     else:
-        trace_fn = trace_builder(static, scene, world_p)
-
-    n_tiles = -(-H // rows_per_tile)
-
-    def tile_fn(row0):
-        return render_tile(
-            static, scene, cam, trace_fn, inst_mats, world_p, world_n,
-            sample_batch, row0, rows_per_tile, use_dof,
-        )
-
-    row_starts = jnp.arange(n_tiles, dtype=jnp.int32) * rows_per_tile
-    tiles, rays = jax.lax.map(tile_fn, row_starts)
-    img = tiles.reshape(n_tiles * rows_per_tile, W, 3)[:H]
-
-    b = sample_batch.astype(jnp.float32)
-    new_accum = (b * accum + img) / (b + 1.0)
-    return new_accum, jnp.sum(rays)
+        trace_fn = trace_builder(static, scene, geom.inst_mats,
+                                 geom.world_p, geom.world_n)
+    return render_tile(
+        static, scene, cam, trace_fn, geom.inst_mats,
+        sample_batch, row0, rows_per_tile, use_dof,
+    )

@@ -125,6 +125,20 @@ class CompiledScene:
     tri_mat_index: np.ndarray # [T]
     num_triangles: int        # actual (unpadded) count
 
+    # --- analytic spheres (instance-flattened; empty in mesh mode) ---
+    # TPU-native fast path: uv_sphere primitives are intersected in closed
+    # form as dense vector math instead of 2M-triangle BVH pointer chasing.
+    # The reference tessellates only because the Vulkan RT pipeline demands
+    # triangles (mesh.rs:155-258); "Ray Tracing in One Weekend" spheres are
+    # analytic to begin with.  Mesh mode (analytic_spheres=False) reproduces
+    # the reference's tessellated geometry exactly.
+    sph_center: np.ndarray    # [S, 3] object space
+    sph_radius: np.ndarray    # [S]
+    sph_inst: np.ndarray      # [S] instance id
+    sph_mat_type: np.ndarray  # [S]
+    sph_mat_index: np.ndarray # [S]
+    num_spheres: int
+
     # --- instances ---
     inst_t0: np.ndarray       # [I, 10] translation(3) quat(4) scale(3), t=0
     inst_t1: np.ndarray       # [I, 10] t=1 (equal to t0 when static)
@@ -344,11 +358,16 @@ def _build_light_table(scene_meshes, instances, name_to_mat):
 
 
 def compile_scene(scene: SceneFile, width: Optional[int] = None,
-                  height: Optional[int] = None) -> CompiledScene:
+                  height: Optional[int] = None,
+                  analytic_spheres: bool = True) -> CompiledScene:
     """Compile a SceneFile to device-ready SoA arrays.
 
     width/height default to the reference's 1024-logical-width window scaled
     by the scene aspect ratio (bin/src/app.rs:34, 141-148).
+
+    analytic_spheres=True (default) compiles uv_sphere instances into the
+    closed-form sphere table instead of the triangle soup; the light alias
+    table always uses tessellated geometry (light.rs semantics).
     """
     scene.validate()
 
@@ -387,15 +406,31 @@ def compile_scene(scene: SceneFile, width: Optional[int] = None,
         meshes, instances, name_to_mat
     )
 
+    # Which primitives take the analytic-sphere path.
+    from ..scene_file import UvSphere
+
+    sphere_prim = {
+        prim.name: prim for prim in scene.primitives if isinstance(prim, UvSphere)
+    } if analytic_spheres else {}
+
     # Triangle soup: instance-major flattening with per-triangle material ids.
     tri_p_parts, tri_n_parts, tri_uv_parts = [], [], []
     tri_inst_parts, tri_mt_parts, tri_mi_parts = [], [], []
+    sph_center, sph_radius, sph_inst, sph_mt, sph_mi = [], [], [], [], []
     soup_offsets = [0]
     for i, (mesh_index, _t0, _t1, _anim) in enumerate(instances):
         mesh = meshes[mesh_index]
         mt, mi = name_to_mat.get(mesh.material, (MAT_TYPE_NONE, 0))
         if (mt, mi) == (MAT_TYPE_NONE, 0) and mesh.material not in name_to_mat:
             log.info("Mesh '%s' material '%s' not found", mesh.name, mesh.material)
+        if mesh.name in sphere_prim:
+            prim = sphere_prim[mesh.name]
+            sph_center.append(np.asarray(prim.center, np.float32))
+            sph_radius.append(np.float32(prim.radius))
+            sph_inst.append(i)
+            sph_mt.append(mt)
+            sph_mi.append(mi)
+            continue
         tp, tn, tuv = mesh.triangles()
         t_count = tp.shape[0]
         tri_p_parts.append(tp)
@@ -406,15 +441,38 @@ def compile_scene(scene: SceneFile, width: Optional[int] = None,
         tri_mi_parts.append(np.full(t_count, mi, np.int32))
         soup_offsets.append(soup_offsets[-1] + t_count)
 
-    tri_p = np.concatenate(tri_p_parts).astype(np.float32)
-    tri_n = np.concatenate(tri_n_parts).astype(np.float32)
-    tri_uv = np.concatenate(tri_uv_parts).astype(np.float32)
-    tri_inst = np.concatenate(tri_inst_parts)
-    tri_mt = np.concatenate(tri_mt_parts)
-    tri_mi = np.concatenate(tri_mi_parts)
+    if tri_p_parts:
+        tri_p = np.concatenate(tri_p_parts).astype(np.float32)
+        tri_n = np.concatenate(tri_n_parts).astype(np.float32)
+        tri_uv = np.concatenate(tri_uv_parts).astype(np.float32)
+        tri_inst = np.concatenate(tri_inst_parts)
+        tri_mt = np.concatenate(tri_mt_parts)
+        tri_mi = np.concatenate(tri_mi_parts)
+    else:
+        tri_p = np.zeros((0, 3, 3), np.float32)
+        tri_n = np.zeros((0, 3, 3), np.float32)
+        tri_uv = np.zeros((0, 3, 2), np.float32)
+        tri_inst = np.zeros(0, np.int32)
+        tri_mt = np.zeros(0, np.int32)
+        tri_mi = np.zeros(0, np.int32)
+
+    num_spheres = len(sph_radius)
+    SPH_PAD = 128
+    s_padded = max(SPH_PAD, -(-max(num_spheres, 1) // SPH_PAD) * SPH_PAD)
+    sph_center_a = np.zeros((s_padded, 3), np.float32)
+    sph_radius_a = np.zeros(s_padded, np.float32)  # r=0 padding never hits
+    sph_inst_a = np.zeros(s_padded, np.int32)
+    sph_mt_a = np.zeros(s_padded, np.int32)
+    sph_mi_a = np.zeros(s_padded, np.int32)
+    if num_spheres:
+        sph_center_a[:num_spheres] = np.stack(sph_center)
+        sph_radius_a[:num_spheres] = sph_radius
+        sph_inst_a[:num_spheres] = sph_inst
+        sph_mt_a[:num_spheres] = sph_mt
+        sph_mi_a[:num_spheres] = sph_mi
 
     num_tris = tri_p.shape[0]
-    padded = -(-num_tris // TRI_PAD) * TRI_PAD
+    padded = max(TRI_PAD, -(-max(num_tris, 1) // TRI_PAD) * TRI_PAD)
     tri_p = _pad_rows(tri_p, padded)
     tri_n = _pad_rows(tri_n, padded)
     tri_uv = _pad_rows(tri_uv, padded)
@@ -478,6 +536,8 @@ def compile_scene(scene: SceneFile, width: Optional[int] = None,
         tri_p=tri_p, tri_n=tri_n, tri_uv=tri_uv,
         tri_inst=tri_inst, tri_mat_type=tri_mt, tri_mat_index=tri_mi,
         num_triangles=num_tris,
+        sph_center=sph_center_a, sph_radius=sph_radius_a, sph_inst=sph_inst_a,
+        sph_mat_type=sph_mt_a, sph_mat_index=sph_mi_a, num_spheres=num_spheres,
         inst_t0=inst_t0, inst_t1=inst_t1, inst_animated=inst_animated,
         num_instances=len(instances),
         any_animated=bool(inst_animated.any()),

@@ -58,7 +58,7 @@ class TestBuild:
 
     def test_animated_bounds_cover_endpoints(self):
         sf = SceneFile.load_json(reference_asset("earth-motion-blur.json"))
-        cs = compile_scene(sf, width=8, height=8)
+        cs = compile_scene(sf, width=8, height=8, analytic_spheres=False)
         mn, mx = world_triangle_bounds(cs)
         n = cs.num_triangles
         # Bounds at t=0 and t=1 must be inside the conservative interval.

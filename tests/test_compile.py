@@ -45,7 +45,12 @@ def test_compiles_consistently(compiled, name):
         assert a.shape == (T, 3, 3)
     assert cs.tri_uv.shape == (T, 3, 2)
     assert cs.tri_inst.shape == (T,)
-    assert cs.tri_inst[: cs.num_triangles].max() < cs.num_instances
+    if cs.num_triangles:
+        assert cs.tri_inst[: cs.num_triangles].max() < cs.num_instances
+    if cs.num_spheres:
+        assert cs.sph_inst[: cs.num_spheres].max() < cs.num_instances
+        assert (cs.sph_radius[: cs.num_spheres] > 0).all()
+        assert (cs.sph_radius[cs.num_spheres:] == 0).all()
     assert cs.inst_t0.shape == (cs.num_instances, 10)
     # Quaternions are unit.
     np.testing.assert_allclose(
@@ -82,14 +87,20 @@ def test_cornell_box(compiled):
 
 
 def test_final_one_weekend_scale():
-    cs = compile_scene(
-        SceneFile.load_json(os.path.join(REFERENCE_ASSETS, "final-one-weekend.json"))
-    )
+    sf = SceneFile.load_json(os.path.join(REFERENCE_ASSETS, "final-one-weekend.json"))
+    cs = compile_scene(sf)
     assert cs.num_instances == 488
-    # ~2.03M triangles: ground 65024 + 484 grid spheres x 3968 + 3 hero x 16128
-    assert cs.num_triangles == 65024 + 484 * 3968 + 3 * 16128
+    # Analytic mode: every uv_sphere is a closed-form sphere, no soup.
+    assert cs.num_spheres == 488
+    assert cs.num_triangles == 0
     cam = cs.cameras[cs.render.camera]
     assert cam.aperture_size > 0
+
+    # Mesh-parity mode tessellates:
+    # ground 65024 + 484 grid spheres x 3968 + 3 hero x 16128.
+    cs2 = compile_scene(sf, analytic_spheres=False)
+    assert cs2.num_triangles == 65024 + 484 * 3968 + 3 * 16128
+    assert cs2.num_spheres == 0
 
 
 def test_motion_blur_flags(compiled):
