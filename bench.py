@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Headline benchmark: final-one-weekend at 1200x675 on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "mrays_per_sec", "value": N, "unit": "Mrays/s", "vs_baseline": N/500}
+
+The baseline target is >=500 Mrays/s per v5e chip (BASELINE.md).  Timing
+excludes the first batch (compile); rays are counted exactly on device
+(sum of alive lanes per bounce — primary + secondary rays actually traced).
+
+Env knobs:
+  BENCH_SCENE   (default final-one-weekend.json)
+  BENCH_WIDTH/BENCH_HEIGHT (default 1200x675)
+  BENCH_BATCHES (default 4 timed batches; scene cap applies)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    scene_name = os.environ.get("BENCH_SCENE", "final-one-weekend.json")
+    width = int(os.environ.get("BENCH_WIDTH", 1200))
+    height = int(os.environ.get("BENCH_HEIGHT", 675))
+    n_timed = int(os.environ.get("BENCH_BATCHES", 4))
+
+    from raytrace_tpu.models import compile_scene
+    from raytrace_tpu.scene_file import SceneFile
+    from raytrace_tpu.engine import Renderer
+
+    path = os.path.join("/root/reference/assets", scene_name)
+    if not os.path.exists(path):
+        path = scene_name
+    sf = SceneFile.load_json(path)
+    sf.render.sample_batches = max(sf.render.sample_batches, n_timed + 1)
+
+    cs = compile_scene(sf, width=width, height=height)
+    r = Renderer(cs)
+
+    # Batch 0: compile + warm-up (excluded from the measurement).
+    r.render_next_batch()
+
+    t0 = time.perf_counter()
+    rays0 = r.stats.rays_traced
+    done = 0
+    while done < n_timed and r.render_next_batch():
+        done += 1
+    dt = time.perf_counter() - t0
+    rays = r.stats.rays_traced - rays0
+
+    mrays = rays / dt / 1e6 if dt > 0 else 0.0
+    print(json.dumps({
+        "metric": "mrays_per_sec",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

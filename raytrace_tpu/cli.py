@@ -1,0 +1,133 @@
+"""Command-line app — the reference's `bin` crate, TPU-style.
+
+The reference's winit window + swapchain dissolve into progressive PNG
+output: each sample batch refines the accumulation image, and the renderer
+writes the current state on request or at completion.  Checkpoint/resume
+persists (batch index, accumulation buffer) — an upgrade over the
+reference, which loses all progress on exit (SURVEY.md §5).
+
+Usage:
+  python -m raytrace_tpu.cli render --path scene.json [-o out.png]
+      [--width W] [--height H] [--mesh-geometry] [--checkpoint ck.npz]
+      [--resume] [--multichip] [--preview-every N]
+  python -m raytrace_tpu.cli gen-final-one-weekend [--out-dir assets]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+log = logging.getLogger("raytrace_tpu")
+
+
+def cmd_render(args) -> int:
+    from .models import compile_scene
+    from .scene_file import SceneFile
+    from .engine import Renderer
+
+    scene = SceneFile.load_json(args.path)
+    scene.validate()
+    cs = compile_scene(
+        scene, width=args.width, height=args.height,
+        analytic_spheres=not args.mesh_geometry,
+    )
+    log.info(
+        "scene: %d instances, %d spheres, %d triangles, %dx%d, %d spp x %d batches",
+        cs.num_instances, cs.num_spheres, cs.num_triangles,
+        cs.render.width, cs.render.height,
+        cs.render.samples_per_pixel, cs.render.sample_batches,
+    )
+
+    out = args.output or (os.path.splitext(os.path.basename(args.path))[0] + ".png")
+
+    if args.multichip:
+        from .parallel import MultiChipRenderer
+
+        renderer = MultiChipRenderer(cs)
+    else:
+        renderer = Renderer(cs)
+
+    if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
+        renderer.load_checkpoint(args.checkpoint)
+        log.info("resumed at batch %d", renderer.current_batch)
+
+    t0 = time.perf_counter()
+    batch = renderer.current_batch
+    while renderer.render_next_batch():
+        batch = renderer.current_batch
+        log.info("batch %d/%d done", batch, cs.render.sample_batches)
+        if args.preview_every and batch % args.preview_every == 0:
+            from .utils.image import write_png
+            import numpy as np
+
+            write_png(out, np.asarray(renderer.accum))
+        if args.checkpoint and not args.multichip:
+            renderer.save_checkpoint(args.checkpoint)
+    dt = time.perf_counter() - t0
+
+    from .utils.image import write_png
+    import numpy as np
+
+    write_png(out, np.asarray(renderer.accum))
+    stats = getattr(renderer, "stats", None)
+    if stats is not None:
+        log.info(
+            "rendered %d batches in %.1fs — %.1f Mrays/s -> %s",
+            stats.batches_done, dt, stats.mrays_per_sec, out,
+        )
+    else:
+        log.info("rendered in %.1fs -> %s", dt, out)
+    print(out)
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from .tools import generate_final_one_weekend_scene
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for blur, name in [(False, "final-one-weekend.json"),
+                       (True, "final-one-weekend-motion-blur.json")]:
+        path = os.path.join(args.out_dir, name)
+        generate_final_one_weekend_scene(do_motion_blur=blur).save_json(path)
+        log.info("wrote %s", path)
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=os.environ.get("LOGLEVEL", "INFO"),
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    p = argparse.ArgumentParser(prog="raytrace_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene JSON to PNG")
+    pr.add_argument("--path", default="/root/reference/assets/final-one-weekend.json",
+                    help="scene file (reference default: assets/final-one-weekend.json)")
+    pr.add_argument("-o", "--output", default=None)
+    pr.add_argument("--width", type=int, default=None)
+    pr.add_argument("--height", type=int, default=None)
+    pr.add_argument("--mesh-geometry", action="store_true",
+                    help="tessellate spheres (reference-parity geometry)")
+    pr.add_argument("--checkpoint", default=None)
+    pr.add_argument("--resume", action="store_true")
+    pr.add_argument("--multichip", action="store_true")
+    pr.add_argument("--preview-every", type=int, default=0,
+                    help="write the PNG every N batches (progressive preview)")
+    pr.set_defaults(fn=cmd_render)
+
+    pg = sub.add_parser("gen-final-one-weekend",
+                        help="generate the RTiOW final scene files")
+    pg.add_argument("--out-dir", default="assets")
+    pg.set_defaults(fn=cmd_generate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

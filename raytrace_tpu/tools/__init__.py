@@ -1,0 +1,5 @@
+"""Scene generation tools (reference: tools/src/main.rs)."""
+
+from .generate import generate_final_one_weekend_scene
+
+__all__ = ["generate_final_one_weekend_scene"]
