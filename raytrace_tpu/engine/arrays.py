@@ -75,6 +75,8 @@ class SceneArrays(NamedTuple):
     sky_factor: jnp.ndarray
     # BVH (empty [0,16] when tracing brute-force)
     bvh_child_boxes: jnp.ndarray
+    # pre-resolved shading rows ([1,32] dummy when unavailable)
+    shade_rows: jnp.ndarray
 
 
 @dataclass(frozen=True)
@@ -98,6 +100,9 @@ class SceneStatic:
     bvh_num_leaves: int = 0
     bvh_leaf_size: int = 4
     bvh_stack_depth: int = 0
+    # shading / sphere fast paths
+    use_fat_shading: bool = False
+    sphere_world_mode: bool = False
 
 
 def upload_scene(cs: CompiledScene, bvh=None, sharding=None):
@@ -142,6 +147,10 @@ def upload_scene(cs: CompiledScene, bvh=None, sharding=None):
         bvh_child_boxes=f32(
             bvh.child_boxes if bvh is not None else np.zeros((0, 16), np.float32)
         ),
+        shade_rows=f32(
+            cs.shade_rows if cs.shade_rows is not None
+            else np.zeros((1, 32), np.float32)
+        ),
     )
     if sharding is not None:
         arrays = jax.device_put(arrays, sharding)
@@ -163,5 +172,6 @@ def upload_scene(cs: CompiledScene, bvh=None, sharding=None):
         bvh_num_leaves=int(bvh.num_leaves) if bvh is not None else 0,
         bvh_leaf_size=int(bvh.leaf_size) if bvh is not None else 4,
         bvh_stack_depth=int(bvh.depth + 2) if bvh is not None else 0,
+        use_fat_shading=cs.shade_rows is not None,
     )
     return arrays, static

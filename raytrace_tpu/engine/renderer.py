@@ -80,13 +80,27 @@ class Renderer:
             self.compiled = compiled
         self.bvh = bvh
         self.scene, self.static = upload_scene(compiled, bvh=bvh)
+
+        self.batch_times = get_batch_ray_times(compiled.render.sample_batches)
+
+        # World-space sphere tables per batch time (host f64 -> f32); None
+        # when a sphere instance has non-uniform scale (ellipsoid path).
+        self.sphere_tables = None
+        if self.static.has_spheres:
+            from ..ops.spheres import world_sphere_tables
+            import dataclasses
+
+            self.sphere_tables = world_sphere_tables(compiled, self.batch_times)
+            if self.sphere_tables is not None:
+                self.static = dataclasses.replace(
+                    self.static, sphere_world_mode=True
+                )
         name = camera_name or compiled.render.camera
         if name not in compiled.cameras:
             raise KeyError(f"Camera {name} not found")
         self.camera = cam_ops.build_camera_arrays(
             compiled.cameras[name], self.static.width, self.static.height
         )
-        self.batch_times = get_batch_ray_times(compiled.render.sample_batches)
 
         if rows_per_tile is None:
             # Budget ~512k rays per tile: big enough to saturate the chip,
@@ -113,6 +127,8 @@ class Renderer:
             (self.static.height, self.static.width, 3), jnp.float32
         )
         self.current_batch = 0
+        # Runtime-adjustable (traced, never recompiles).
+        self.max_depth = compiled.render.max_ray_depth
         self.stats = RenderStats()
 
     # ------------------------------------------------------------- steps
@@ -124,14 +140,20 @@ class Renderer:
             return False
         t0 = _time.perf_counter()
         H, W = self.static.height, self.static.width
+        sph_table = (
+            self.sphere_tables[self.current_batch]
+            if self.sphere_tables is not None else None
+        )
         geom = self._prepare(
-            self.scene, jnp.float32(self.batch_times[self.current_batch])
+            self.scene, jnp.float32(self.batch_times[self.current_batch]),
+            sph_table=sph_table,
         )
         tiles, ray_counts = [], []
         for row0 in range(0, H, self.rows_per_tile):
             tile, tr = self._tile(
                 self.scene, geom, self.camera,
                 jnp.int32(self.current_batch), jnp.int32(row0),
+                max_depth=jnp.int32(self.max_depth),
             )
             tiles.append(tile)
             ray_counts.append(tr)

@@ -48,6 +48,7 @@ class HitRecord(NamedTuple):
     mat_type: jnp.ndarray   # [R]
     mat_index: jnp.ndarray  # [R]
     inst: jnp.ndarray       # [R] instance id of the hit primitive
+    prim: jnp.ndarray       # [R] unified primitive id (sphere i | S_pad + tri j)
 
 
 class BounceState(NamedTuple):
@@ -76,8 +77,7 @@ def _background(static: SceneStatic, scene: SceneArrays, n: int):
 
 
 def make_trace_fn(static: SceneStatic, scene: SceneArrays,
-                  inst_mats: transforms.InstanceMatrices,
-                  world_p, world_n):
+                  geom: "BatchGeometry"):
     """Build the unified closest-hit tracer for this batch.
 
     Returns trace(o, d, alive) -> HitRecord.  Each enabled geometry family
@@ -86,7 +86,8 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
     """
     use_tris = static.has_tris
     use_spheres = static.has_spheres
-    sph_w2o = inst_mats.world_to_object[scene.sph_inst] if use_spheres else None
+    world_p, world_n = geom.world_p, geom.world_n
+    s_pad = scene.sph_center.shape[0]
 
     def trace(o, d, alive) -> HitRecord:
         R = o.shape[0]
@@ -112,10 +113,16 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
 
         sph_hit = None
         if use_spheres:
-            sph_hit = spheres.intersect_spheres(
-                o, d, scene.sph_center, scene.sph_radius, sph_w2o,
-                active=alive, chunk=min(128, scene.sph_center.shape[0]),
-            )
+            if static.sphere_world_mode:
+                sph_hit = spheres.intersect_spheres_world(
+                    o, d, geom.sph_table, active=alive,
+                    chunk=min(128, s_pad),
+                )
+            else:
+                sph_hit = spheres.intersect_spheres(
+                    o, d, scene.sph_center, scene.sph_radius, geom.sph_w2o,
+                    active=alive, chunk=min(128, s_pad),
+                )
             t_best = jnp.minimum(t_best, sph_hit.t)
 
         missed = t_best >= T_MAX
@@ -139,7 +146,7 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
         if use_spheres:
             sp, sn, su, sv = spheres.sphere_hit_attributes(
                 o, d, sph_hit.t, sph_hit.sph,
-                scene.sph_center, scene.sph_radius, sph_w2o, scene.sph_inst,
+                scene.sph_center, scene.sph_radius, geom.sph_w2o, scene.sph_inst,
             )
             sid = jnp.maximum(sph_hit.sph, 0)
 
@@ -157,6 +164,7 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
                 mat_type=sel1(scene.sph_mat_type[sid], scene.tri_mat_type[tri]),
                 mat_index=sel1(scene.sph_mat_index[sid], scene.tri_mat_index[tri]),
                 inst=sel1(scene.sph_inst[sid], scene.tri_inst[tri]),
+                prim=sel1(sid, s_pad + tri),
             )
         if use_spheres:
             return HitRecord(
@@ -164,6 +172,7 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
                 mat_type=scene.sph_mat_type[sid],
                 mat_index=scene.sph_mat_index[sid],
                 inst=scene.sph_inst[sid],
+                prim=sid,
             )
         return HitRecord(
             missed=missed, t=t_best, p=tri_p_hit, n=tri_n_hit,
@@ -171,6 +180,7 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
             mat_type=scene.tri_mat_type[tri],
             mat_index=scene.tri_mat_index[tri],
             inst=scene.tri_inst[tri],
+            prim=s_pad + tri,
         )
 
     return trace
@@ -184,13 +194,19 @@ def bounce_wavefront(
     state: jnp.ndarray,
     ray_o: jnp.ndarray,
     ray_d: jnp.ndarray,
+    max_depth=None,
 ):
     """Run the full bounce loop for a wavefront; returns (radiance [R,3],
-    rng state, rays_traced scalar) — the rayColour loop (ray_gen.glsl:457-541)."""
+    rng state, rays_traced scalar) — the rayColour loop (ray_gen.glsl:457-541).
+
+    max_depth may be a traced scalar (it only bounds the while loop, not any
+    shape), so depth changes never trigger recompilation."""
     R = ray_o.shape[0]
+    if max_depth is None:
+        max_depth = static.max_ray_depth
 
     init = BounceState(
-        depth=jnp.int32(static.max_ray_depth),
+        depth=jnp.int32(max_depth),
         state=state,
         ray_o=ray_o,
         ray_d=ray_d,
@@ -217,20 +233,29 @@ def bounce_wavefront(
         front = jnp.sum(s.ray_d * rec.n, axis=-1) < 0.0   # common.glsl:239-241
         normal = jnp.where(front[:, None], rec.n, -rec.n)
 
-        mat_type = jnp.where(alive, rec.mat_type, 0)
-        mat_index = rec.mat_index
+        # --- emission + scatter (ray_gen.glsl:499-506)
+        if static.use_fat_shading:
+            from ..ops import shading
 
-        # --- emission (ray_gen.glsl:499-500)
-        emit = materials.calculate_emission(
-            scene, static.flags, mat_type, mat_index, rec.p, front, rec.u, rec.v
-        )
+            prim = jnp.where(alive, rec.prim, 0)
+            rows = shading.fetch_rows(scene.shade_rows, prim,
+                                      scene.shade_rows.shape[0])
+            rstate, srec, emit = shading.scatter_and_emit(
+                s.state, scene, static.flags, rows,
+                rec.p, normal, front, rec.u, rec.v, s.ray_d,
+            )
+        else:
+            mat_type = jnp.where(alive, rec.mat_type, 0)
+            mat_index = rec.mat_index
+            emit = materials.calculate_emission(
+                scene, static.flags, mat_type, mat_index, rec.p, front,
+                rec.u, rec.v,
+            )
+            rstate, srec = materials.calculate_scatter(
+                s.state, scene, static.flags, mat_type, mat_index,
+                rec.p, normal, front, rec.u, rec.v, s.ray_d,
+            )
         accumulated = accumulated + jnp.where(alive[:, None], s.throughput * emit, 0.0)
-
-        # --- scatter (ray_gen.glsl:503-506)
-        rstate, srec = materials.calculate_scatter(
-            s.state, scene, static.flags, mat_type, mat_index,
-            rec.p, normal, front, rec.u, rec.v, s.ray_d,
-        )
         alive = alive & srec.is_scattered
 
         if static.has_lights:
@@ -316,6 +341,7 @@ def render_tile(
     spp_local: int = 0,
     sample_base=0,
     reduce_mean: bool = True,
+    max_depth=None,
 ):
     """Render `rows_per_tile` pixel rows x width x spp_local samples.
 
@@ -349,7 +375,8 @@ def render_tile(
     )
 
     radiance, state, rays_traced = bounce_wavefront(
-        static, scene, trace_fn, inst_mats, state, ray_o, ray_d
+        static, scene, trace_fn, inst_mats, state, ray_o, ray_d,
+        max_depth=max_depth,
     )
 
     tile = radiance.reshape(rows_per_tile, W, spp_local, 3)
@@ -363,13 +390,20 @@ class BatchGeometry(NamedTuple):
     inst_mats: transforms.InstanceMatrices
     world_p: jnp.ndarray   # [T,3,3] (dummy [1,3,3] when no triangles)
     world_n: jnp.ndarray
+    sph_w2o: jnp.ndarray   # [S,3,4] world-to-object per sphere
+    sph_table: jnp.ndarray # [S,5] world c/r/k (host-precomputed per batch)
 
 
 def prepare_batch(static: SceneStatic, scene: SceneArrays,
-                  batch_time: jnp.ndarray) -> BatchGeometry:
+                  batch_time: jnp.ndarray,
+                  sph_table=None) -> BatchGeometry:
     """Interpolate instance transforms to the batch ray time and re-transform
     the triangle soup — the replacement for the reference's per-batch TLAS
-    refit (acceleration.rs:91-115).  One jit'd call per batch."""
+    refit (acceleration.rs:91-115).  One jit'd call per batch.
+
+    sph_table: [S,5] world-space sphere rows for this batch time
+    (ops/spheres.world_sphere_tables), or None for the object-space path.
+    """
     inst_mats = transforms.interpolate_instances(
         scene.inst_t0, scene.inst_t1, batch_time
     )
@@ -379,7 +413,14 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
         )
     else:
         world_p = world_n = jnp.zeros((1, 3, 3), jnp.float32)
-    return BatchGeometry(inst_mats=inst_mats, world_p=world_p, world_n=world_n)
+    if static.has_spheres:
+        sph_w2o = inst_mats.world_to_object[scene.sph_inst]
+    else:
+        sph_w2o = jnp.zeros((scene.sph_center.shape[0], 3, 4), jnp.float32)
+    if sph_table is None:
+        sph_table = jnp.zeros((scene.sph_center.shape[0], 5), jnp.float32)
+    return BatchGeometry(inst_mats=inst_mats, world_p=world_p, world_n=world_n,
+                         sph_w2o=sph_w2o, sph_table=jnp.asarray(sph_table))
 
 
 def render_tile_step(
@@ -392,6 +433,7 @@ def render_tile_step(
     rows_per_tile: int,
     use_dof: bool = False,
     trace_builder=None,
+    max_depth=None,
 ):
     """One jit'd dispatch: render a tile of pixel rows for one batch.
 
@@ -401,12 +443,10 @@ def render_tile_step(
     watchdogs here too.
     """
     if trace_builder is None:
-        trace_fn = make_trace_fn(static, scene, geom.inst_mats,
-                                 geom.world_p, geom.world_n)
+        trace_fn = make_trace_fn(static, scene, geom)
     else:
-        trace_fn = trace_builder(static, scene, geom.inst_mats,
-                                 geom.world_p, geom.world_n)
+        trace_fn = trace_builder(static, scene, geom)
     return render_tile(
         static, scene, cam, trace_fn, geom.inst_mats,
-        sample_batch, row0, rows_per_tile, use_dof,
+        sample_batch, row0, rows_per_tile, use_dof, max_depth=max_depth,
     )

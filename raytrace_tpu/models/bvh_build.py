@@ -194,4 +194,10 @@ def permute_soup(cs: CompiledScene, bvh: BVHData) -> CompiledScene:
     out.tri_inst = take(cs.tri_inst)
     out.tri_mat_type = take(cs.tri_mat_type)
     out.tri_mat_index = take(cs.tri_mat_index)
+    if getattr(cs, "shade_rows", None) is not None:
+        s_pad = cs.sph_center.shape[0]
+        tri_rows = cs.shade_rows[s_pad:]
+        new_tri_rows = tri_rows[np.clip(o, 0, tri_rows.shape[0] - 1)]
+        new_tri_rows[pad] = 0
+        out.shade_rows = np.concatenate([cs.shade_rows[:s_pad], new_tri_rows])
     return out

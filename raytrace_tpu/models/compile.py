@@ -184,6 +184,11 @@ class CompiledScene:
     mesh_names: List[str] = field(default_factory=list)
     mesh_tri_offsets: Optional[np.ndarray] = None  # per-instance soup offsets
 
+    # --- pre-resolved per-primitive shading rows (models/shading_table.py)
+    # Row i: sphere i; row S_pad + j: triangle j.  None when the material
+    # graph doesn't fit the fat-row encoding (fallback to registry path).
+    shade_rows: Optional[np.ndarray] = None  # [S_pad + T_pad, 32]
+
 
 def _resolve_texture_registries(scene: SceneFile):
     """Build texture registries in scene-file order and a name resolver.
@@ -526,6 +531,18 @@ def compile_scene(scene: SceneFile, width: Optional[int] = None,
         camera=scene.render.camera,
     )
 
+    # Pre-resolve per-primitive shading rows (single-fetch shading).
+    from .shading_table import ComplexMaterial, build_shading_rows
+
+    try:
+        all_mt = np.concatenate([sph_mt_a, tri_mt])
+        all_mi = np.concatenate([sph_mi_a, tri_mi])
+        shade_rows = build_shading_rows(all_mt, all_mi, mats, tex)
+    except ComplexMaterial as e:
+        log.info("material graph exceeds fat-row encoding (%s); "
+                 "shading falls back to registry lookups", e)
+        shade_rows = None
+
     def min1(a, shape_tail=()):
         """Tables need at least one (dummy) row so shapes stay static."""
         if a.shape[0] > 0:
@@ -560,4 +577,5 @@ def compile_scene(scene: SceneFile, width: Optional[int] = None,
         render=render,
         mesh_names=[m.name for m in meshes],
         mesh_tri_offsets=np.asarray(soup_offsets, np.int64),
+        shade_rows=shade_rows,
     )

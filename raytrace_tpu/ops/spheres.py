@@ -101,6 +101,100 @@ def intersect_spheres(o, d, centers, radii, w2o, active=None, chunk=128,
     return best
 
 
+def world_sphere_tables(cs, batch_times) -> "np.ndarray":
+    """Host (f64) precomputation of per-batch world-space sphere tables.
+
+    Any rigid + uniform-scale instance transform maps a sphere to a sphere:
+    c_world = M c + t, r_world = s * r.  Precomputing per batch time in f64
+    keeps the quadratic's constant k = |c_world|^2 - r_world^2 exact even
+    for the 1000-radius ground sphere (f32 would lose the 1e6 - 1e6
+    cancellation).  Returns [B, S, 5] = (c_world xyz, r_world, k) as f32,
+    or None if any sphere instance has non-uniform scale (ellipsoid -> the
+    general object-space path must be used).
+    """
+    from ..models.bvh_build import _instance_matrix_at
+
+    S = cs.sph_center.shape[0]
+    out = np.zeros((len(batch_times), S, 5), np.float64)
+    n = cs.num_spheres
+    for bi, t in enumerate(batch_times):
+        mats = _instance_matrix_at(cs.inst_t0, cs.inst_t1, float(t))  # [I,3,4]
+        m = mats[cs.sph_inst[:n]]
+        rot = m[:, :, :3]
+        scale = np.linalg.norm(rot, axis=1)  # column norms [n,3]
+        if n and not np.allclose(scale, scale[:, :1], rtol=1e-5, atol=1e-7):
+            return None
+        c_world = np.einsum("sij,sj->si", rot, cs.sph_center[:n]) + m[:, :, 3]
+        r_world = scale[:, 0] * cs.sph_radius[:n] if n else np.zeros(0)
+        out[bi, :n, 0:3] = c_world
+        out[bi, :n, 3] = r_world
+        out[bi, :n, 4] = (c_world ** 2).sum(-1) - r_world ** 2
+        # Padding spheres: r = 0, k huge -> disc < 0, never hit.
+        out[bi, n:, 4] = 3.0e37
+    return out.astype(np.float32)
+
+
+def intersect_spheres_world(o, d, table, active=None, chunk=128,
+                            t_min=T_MIN, t_max=T_MAX) -> SphereHit:
+    """Closest hit against world-space spheres via the stable h-form.
+
+    table: [S, 5] = (cx, cy, cz, r, k) with k = |c|^2 - r^2 precomputed in
+    f64.  The rays x spheres sweep is two MXU matmuls plus [R, C]
+    elementwise work — no [R, C, 3] intermediates.
+    """
+    R = o.shape[0]
+    S = table.shape[0]
+    if S % chunk != 0:
+        chunk = S
+    n_chunks = S // chunk
+
+    d_dot_o = jnp.sum(d * o, axis=-1)       # [R]
+    a = jnp.sum(d * d, axis=-1)             # [R]
+    o_sq = jnp.sum(o * o, axis=-1)          # [R]
+    inv_a = 1.0 / jnp.where(a == 0.0, 1.0, a)
+
+    init = SphereHit(
+        t=jnp.full((R,), t_max, jnp.float32),
+        sph=jnp.full((R,), -1, jnp.int32),
+    )
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(ci, best):
+        s0 = ci * chunk
+        tb = jax.lax.dynamic_slice_in_dim(table, s0, chunk)   # [C,5]
+        c = tb[:, 0:3]
+        r = tb[:, 3]
+        k = tb[:, 4]
+        dc = jnp.dot(d, c.T, precision=hp)                    # [R,C]
+        oc = jnp.dot(o, c.T, precision=hp)                    # [R,C]
+        h = d_dot_o[:, None] - dc
+        c2 = o_sq[:, None] - 2.0 * oc + k[None, :]
+        disc = h * h - a[:, None] * c2
+        ok = (disc >= 0.0) & (r[None, :] > 0.0)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-h - sq) * inv_a[:, None]
+        t2 = (-h + sq) * inv_a[:, None]
+        t1_ok = ok & (t1 > t_min) & (t1 < t_max)
+        t2_ok = ok & (t2 > t_min) & (t2 < t_max)
+        t = jnp.where(t1_ok, t1, jnp.where(t2_ok, t2, t_max))
+        arg = jnp.argmin(t, axis=1)
+        tc = jnp.take_along_axis(t, arg[:, None], axis=1)[:, 0]
+        better = tc < best.t
+        return SphereHit(
+            t=jnp.where(better, tc, best.t),
+            sph=jnp.where(better, (s0 + arg).astype(jnp.int32), best.sph),
+        )
+
+    best = jax.lax.fori_loop(0, n_chunks, body, init)
+    if active is not None:
+        best = SphereHit(
+            t=jnp.where(active, best.t, t_max),
+            sph=jnp.where(active, best.sph, -1),
+        )
+    return best
+
+
 TWO_PI = np.float32(2.0 * np.pi)
 PI = np.float32(np.pi)
 

@@ -30,19 +30,26 @@ from . import perlin
 
 
 class TexFlags(NamedTuple):
-    """Static per-scene texture-family usage; drives code specialization."""
+    """Static per-scene texture/material-family usage; drives XLA
+    specialization (families a scene never uses are compiled out)."""
 
     has_image: bool
     has_checker: bool
     has_noise: bool
+    has_emissive: bool = True
 
     @staticmethod
     def for_scene(cs) -> "TexFlags":
         # `cs` is a models.compile.CompiledScene (host side, pre-device).
+        from ..models.compile import MAT_TYPE_DIFFUSE_LIGHT as _L
+
         return TexFlags(
             has_image=bool(np.prod(cs.atlas.shape[1:3]) > 1),
             has_checker=bool(len(cs.checker_scale) > 0 and cs.checker_scale.any()),
             has_noise=bool(len(cs.noise_scale) > 0 and cs.noise_scale.any()),
+            has_emissive=bool(
+                (cs.tri_mat_type == _L).any() or (cs.sph_mat_type == _L).any()
+            ),
         )
 
 

@@ -79,8 +79,7 @@ def sharded_batch_fn(static: SceneStatic, mesh: Mesh, use_dof: bool):
     def _trace(static, scene, geom: BatchGeometry):
         from ..engine.wavefront import make_trace_fn
 
-        return make_trace_fn(static, scene, geom.inst_mats,
-                             geom.world_p, geom.world_n)
+        return make_trace_fn(static, scene, geom)
 
     mapped = jax.shard_map(
         shard_body,
@@ -107,12 +106,23 @@ class MultiChipRenderer:
         self.compiled = compiled
         self.mesh = mesh if mesh is not None else make_mesh()
         self.scene, self.static = upload_scene(compiled)
+        self.batch_times = get_batch_ray_times(compiled.render.sample_batches)
+        self.sphere_tables = None
+        if self.static.has_spheres:
+            import dataclasses
+
+            from ..ops.spheres import world_sphere_tables
+
+            self.sphere_tables = world_sphere_tables(compiled, self.batch_times)
+            if self.sphere_tables is not None:
+                self.static = dataclasses.replace(
+                    self.static, sphere_world_mode=True
+                )
         name = camera_name or compiled.render.camera
         self.camera = cam_ops.build_camera_arrays(
             compiled.cameras[name], self.static.width, self.static.height
         )
         use_dof = compiled.cameras[name].aperture_size > 0.0
-        self.batch_times = get_batch_ray_times(compiled.render.sample_batches)
         self._prepare = jax.jit(functools.partial(prepare_batch, self.static))
         self._step = sharded_batch_fn(self.static, self.mesh, use_dof)
 
@@ -125,8 +135,13 @@ class MultiChipRenderer:
         if self.current_batch >= self.compiled.render.sample_batches:
             return False
         H = self.static.height
+        sph_table = (
+            self.sphere_tables[self.current_batch]
+            if self.sphere_tables is not None else None
+        )
         geom = self._prepare(
-            self.scene, jnp.float32(self.batch_times[self.current_batch])
+            self.scene, jnp.float32(self.batch_times[self.current_batch]),
+            sph_table=sph_table,
         )
         img_pad, rays = self._step(
             self.scene, geom, self.camera, jnp.int32(self.current_batch)
