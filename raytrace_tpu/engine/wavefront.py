@@ -62,6 +62,13 @@ class BounceState(NamedTuple):
     rays_traced: jnp.ndarray
 
 
+def _compact_size(R: int) -> int:
+    """Phase-2 wavefront size (0 disables compaction for small wavefronts)."""
+    if R < 16384:
+        return 0
+    return max(2048, (R // 8 + 1023) // 1024 * 1024)
+
+
 def _background(static: SceneStatic, scene: SceneArrays, n: int):
     """Sky colour (quirk: direction-independent, ray_gen.glsl:442-455)."""
     from ..models.compile import SKY_SOLID, SKY_VERTICAL_GRADIENT
@@ -224,7 +231,7 @@ def bounce_wavefront(
         rays_traced = s.rays_traced + jnp.sum(s.alive.astype(jnp.float32))
 
         missed = s.alive & rec.missed
-        bg = _background(static, scene, R)
+        bg = _background(static, scene, s.alive.shape[0])
         accumulated = s.accumulated + jnp.where(
             missed[:, None], s.throughput * bg, 0.0
         )
@@ -324,8 +331,40 @@ def bounce_wavefront(
             rays_traced=rays_traced,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
-    return final.accumulated, final.state, final.rays_traced
+    # --- two-phase execution with tail compaction -------------------------
+    # Every while iteration costs O(R) regardless of how many rays are still
+    # alive, and scenes run to max_ray_depth=50 while the mean path length
+    # is ~2-5 — so the tail dominates.  Phase 1 runs the full wavefront
+    # until the alive count drops to R/8; survivors are compacted (sorted
+    # alive-first) into an R/8 wavefront for the remaining bounces, cutting
+    # tail cost 8x.  Contributions scatter back by index at the end.
+    R2 = _compact_size(R)
+    if R2 == 0:
+        final = jax.lax.while_loop(cond, body, init)
+        return final.accumulated, final.state, final.rays_traced
+
+    def cond1(s: BounceState):
+        return (s.depth > 0) & (jnp.sum(s.alive) > R2)
+
+    s1 = jax.lax.while_loop(cond1, body, init)
+
+    # Compact: alive rays first (order is irrelevant — rays are independent).
+    sel = jnp.argsort(~s1.alive)[:R2]
+    init2 = BounceState(
+        depth=s1.depth,
+        state=s1.state[sel],
+        ray_o=s1.ray_o[sel],
+        ray_d=s1.ray_d[sel],
+        throughput=s1.throughput[sel],
+        accumulated=jnp.zeros((R2, 3), jnp.float32),
+        alive=s1.alive[sel],
+        rays_traced=jnp.float32(0.0),
+    )
+    s2 = jax.lax.while_loop(cond, body, init2)
+
+    accumulated = s1.accumulated.at[sel].add(s2.accumulated)
+    state = s1.state.at[sel].set(s2.state)
+    return accumulated, state, s1.rays_traced + s2.rays_traced
 
 
 def render_tile(
