@@ -35,6 +35,18 @@ from ..ops.materials import LIGHT_PDF
 from .arrays import SceneArrays, SceneStatic
 
 
+class RawHit(NamedTuple):
+    """Minimal closest-hit output of the trace sweep; attributes are
+    reconstructed in the bounce body from ONE combined row fetch."""
+
+    missed: jnp.ndarray     # [R] bool
+    t: jnp.ndarray          # [R]
+    prim: jnp.ndarray       # [R] unified primitive id (sphere i | S_pad + tri j)
+    is_sphere: jnp.ndarray  # [R] bool
+    bu: jnp.ndarray         # [R] triangle barycentric u (0 for spheres)
+    bv: jnp.ndarray         # [R]
+
+
 class HitRecord(NamedTuple):
     """Unified closest-hit result for a wavefront (ray_gen.glsl HitRecord +
     material/instance ids resolved, common.glsl:98-102)."""
@@ -96,7 +108,7 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
     world_p, world_n = geom.world_p, geom.world_n
     s_pad = scene.sph_center.shape[0]
 
-    def trace(o, d, alive) -> HitRecord:
+    def trace(o, d, alive) -> RawHit:
         R = o.shape[0]
         t_best = jnp.full((R,), T_MAX, jnp.float32)
 
@@ -133,71 +145,123 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
             t_best = jnp.minimum(t_best, sph_hit.t)
 
         missed = t_best >= T_MAX
-
-        # --- triangle attributes (barycentric over world-space soup)
-        if use_tris:
-            tri = jnp.maximum(tri_hit.tri, 0)
-            w = 1.0 - tri_hit.u - tri_hit.v
-            bary = jnp.stack([w, tri_hit.u, tri_hit.v], axis=-1)
-            tp = world_p[tri]
-            tn = world_n[tri]
-            tuv = scene.tri_uv[tri]
-            tri_p_hit = jnp.einsum("rv,rvi->ri", bary, tp)
-            tri_n_hit = jnp.einsum("rv,rvi->ri", bary, tn)
-            tri_n_hit = tri_n_hit / jnp.maximum(
-                jnp.linalg.norm(tri_n_hit, axis=-1, keepdims=True), 1e-20
-            )
-            tri_uv_hit = jnp.einsum("rv,rvi->ri", bary, tuv)
-
-        # --- sphere attributes (closed form)
-        if use_spheres:
-            sp, sn, su, sv = spheres.sphere_hit_attributes(
-                o, d, sph_hit.t, sph_hit.sph,
-                scene.sph_center, scene.sph_radius, geom.sph_w2o, scene.sph_inst,
-            )
-            sid = jnp.maximum(sph_hit.sph, 0)
+        zeros = jnp.zeros((R,), jnp.float32)
 
         if use_tris and use_spheres:
             sphere_wins = sph_hit.t < tri_hit.t
-            sel = lambda a, b: jnp.where(sphere_wins[:, None], a, b)
-            sel1 = lambda a, b: jnp.where(sphere_wins, a, b)
-            return HitRecord(
-                missed=missed,
-                t=t_best,
-                p=sel(sp, tri_p_hit),
-                n=sel(sn, tri_n_hit),
-                u=sel1(su, tri_uv_hit[:, 0]),
-                v=sel1(sv, tri_uv_hit[:, 1]),
-                mat_type=sel1(scene.sph_mat_type[sid], scene.tri_mat_type[tri]),
-                mat_index=sel1(scene.sph_mat_index[sid], scene.tri_mat_index[tri]),
-                inst=sel1(scene.sph_inst[sid], scene.tri_inst[tri]),
-                prim=sel1(sid, s_pad + tri),
+            tri = jnp.maximum(tri_hit.tri, 0)
+            sid = jnp.maximum(sph_hit.sph, 0)
+            return RawHit(
+                missed=missed, t=t_best,
+                prim=jnp.where(sphere_wins, sid, s_pad + tri),
+                is_sphere=sphere_wins,
+                bu=jnp.where(sphere_wins, 0.0, tri_hit.u),
+                bv=jnp.where(sphere_wins, 0.0, tri_hit.v),
             )
         if use_spheres:
-            return HitRecord(
-                missed=missed, t=t_best, p=sp, n=sn, u=su, v=sv,
-                mat_type=scene.sph_mat_type[sid],
-                mat_index=scene.sph_mat_index[sid],
-                inst=scene.sph_inst[sid],
-                prim=sid,
+            sid = jnp.maximum(sph_hit.sph, 0)
+            return RawHit(
+                missed=missed, t=t_best, prim=sid,
+                is_sphere=jnp.ones((R,), bool), bu=zeros, bv=zeros,
             )
-        return HitRecord(
-            missed=missed, t=t_best, p=tri_p_hit, n=tri_n_hit,
-            u=tri_uv_hit[:, 0], v=tri_uv_hit[:, 1],
-            mat_type=scene.tri_mat_type[tri],
-            mat_index=scene.tri_mat_index[tri],
-            inst=scene.tri_inst[tri],
-            prim=s_pad + tri,
+        tri = jnp.maximum(tri_hit.tri, 0)
+        return RawHit(
+            missed=missed, t=t_best, prim=s_pad + tri,
+            is_sphere=jnp.zeros((R,), bool), bu=tri_hit.u, bv=tri_hit.v,
         )
 
     return trace
+
+
+def reconstruct_hit(static: SceneStatic, scene: SceneArrays,
+                    geom: "BatchGeometry", raw: RawHit, ray_o, ray_d,
+                    rows=None) -> HitRecord:
+    """RawHit → full HitRecord.
+
+    With combined rows (fat path) the per-hit data — material, w2o,
+    object-space sphere center/radius — all come from the single row fetch;
+    only triangle scenes add three soup gathers for barycentric attributes.
+    """
+    R = raw.prim.shape[0]
+    s_pad = scene.sph_center.shape[0]
+
+    if static.has_tris:
+        tri = jnp.maximum(raw.prim - s_pad, 0)
+        w = 1.0 - raw.bu - raw.bv
+        bary = jnp.stack([w, raw.bu, raw.bv], axis=-1)
+        tp = geom.world_p[tri]
+        tn = geom.world_n[tri]
+        tuv = scene.tri_uv[tri]
+        tri_p_hit = jnp.einsum("rv,rvi->ri", bary, tp)
+        tri_n_hit = jnp.einsum("rv,rvi->ri", bary, tn)
+        tri_uv_hit = jnp.einsum("rv,rvi->ri", bary, tuv)
+
+    if static.has_spheres:
+        if rows is not None:
+            w2o = rows[:, 32:44].reshape(R, 3, 4)
+            c = rows[:, 44:47]
+            r = rows[:, 47]
+        else:
+            sid = jnp.minimum(raw.prim, s_pad - 1)
+            w2o = geom.sph_w2o[sid]
+            c = scene.sph_center[sid]
+            r = scene.sph_radius[sid]
+        sp = ray_o + raw.t[:, None] * ray_d
+        p_obj = jnp.einsum("rij,rj->ri", w2o[:, :, :3], sp) + w2o[:, :, 3]
+        n_obj = (p_obj - c) / jnp.where(r == 0.0, 1.0, r)[:, None]
+        sn = jnp.einsum("rj,rji->ri", n_obj, w2o[:, :, :3])
+        nn = n_obj / jnp.maximum(
+            jnp.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-20
+        )
+        sv = jnp.arccos(jnp.clip(-nn[:, 1], -1.0, 1.0)) / spheres.PI
+        su = (jnp.arctan2(nn[:, 2], -nn[:, 0]) / spheres.TWO_PI) % 1.0
+
+    if static.has_tris and static.has_spheres:
+        sw = raw.is_sphere
+        n = jnp.where(sw[:, None], sn, tri_n_hit)
+        p = jnp.where(sw[:, None], sp, tri_p_hit)
+        u = jnp.where(sw, su, tri_uv_hit[:, 0])
+        v = jnp.where(sw, sv, tri_uv_hit[:, 1])
+    elif static.has_spheres:
+        n, p, u, v = sn, sp, su, sv
+    else:
+        n, p = tri_n_hit, tri_p_hit
+        u, v = tri_uv_hit[:, 0], tri_uv_hit[:, 1]
+
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+
+    if rows is not None:
+        mat_type = rows[:, 0].astype(jnp.int32)
+        mat_index = jnp.zeros((R,), jnp.int32)       # unused on the fat path
+        inst = rows[:, 48].astype(jnp.int32)
+    else:
+        tri_c = jnp.maximum(raw.prim - s_pad, 0) if static.has_tris else 0
+        sid = jnp.minimum(raw.prim, s_pad - 1)
+        if static.has_tris and static.has_spheres:
+            sel1 = lambda a, b: jnp.where(raw.is_sphere, a, b)
+            mat_type = sel1(scene.sph_mat_type[sid], scene.tri_mat_type[tri_c])
+            mat_index = sel1(scene.sph_mat_index[sid], scene.tri_mat_index[tri_c])
+            inst = sel1(scene.sph_inst[sid], scene.tri_inst[tri_c])
+        elif static.has_spheres:
+            mat_type = scene.sph_mat_type[sid]
+            mat_index = scene.sph_mat_index[sid]
+            inst = scene.sph_inst[sid]
+        else:
+            mat_type = scene.tri_mat_type[tri_c]
+            mat_index = scene.tri_mat_index[tri_c]
+            inst = scene.tri_inst[tri_c]
+
+    return HitRecord(
+        missed=raw.missed, t=raw.t, p=p, n=n, u=u, v=v,
+        mat_type=mat_type, mat_index=mat_index, inst=inst, prim=raw.prim,
+    )
 
 
 def bounce_wavefront(
     static: SceneStatic,
     scene: SceneArrays,
     trace_fn: Callable,
-    inst_mats: transforms.InstanceMatrices,
+    geom: "BatchGeometry",
     state: jnp.ndarray,
     ray_o: jnp.ndarray,
     ray_d: jnp.ndarray,
@@ -226,16 +290,29 @@ def bounce_wavefront(
     def cond(s: BounceState):
         return (s.depth > 0) & jnp.any(s.alive)
 
+    inst_mats = geom.inst_mats
+
     def body(s: BounceState) -> BounceState:
-        rec = trace_fn(s.ray_o, s.ray_d, s.alive)
+        raw = trace_fn(s.ray_o, s.ray_d, s.alive)
         rays_traced = s.rays_traced + jnp.sum(s.alive.astype(jnp.float32))
 
-        missed = s.alive & rec.missed
+        missed = s.alive & raw.missed
         bg = _background(static, scene, s.alive.shape[0])
         accumulated = s.accumulated + jnp.where(
             missed[:, None], s.throughput * bg, 0.0
         )
-        alive = s.alive & ~rec.missed
+        alive = s.alive & ~raw.missed
+
+        # --- one combined row fetch per bounce (fat path)
+        if static.use_fat_shading:
+            prim = jnp.where(alive, raw.prim, 0)
+            P = geom.prim_rows.shape[0]
+            rows = geom.prim_rows[jnp.clip(prim, 0, P - 1)]
+        else:
+            rows = None
+
+        rec = reconstruct_hit(static, scene, geom, raw, s.ray_o, s.ray_d,
+                              rows=rows)
 
         front = jnp.sum(s.ray_d * rec.n, axis=-1) < 0.0   # common.glsl:239-241
         normal = jnp.where(front[:, None], rec.n, -rec.n)
@@ -244,9 +321,6 @@ def bounce_wavefront(
         if static.use_fat_shading:
             from ..ops import shading
 
-            prim = jnp.where(alive, rec.prim, 0)
-            rows = shading.fetch_rows(scene.shade_rows, prim,
-                                      scene.shade_rows.shape[0])
             rstate, srec, emit = shading.scatter_and_emit(
                 s.state, scene, static.flags, rows,
                 rec.p, normal, front, rec.u, rec.v, s.ray_d,
@@ -372,7 +446,7 @@ def render_tile(
     scene: SceneArrays,
     cam: cam_ops.CameraArrays,
     trace_fn,
-    inst_mats,
+    geom,
     sample_batch,
     row0,
     rows_per_tile: int,
@@ -414,7 +488,7 @@ def render_tile(
     )
 
     radiance, state, rays_traced = bounce_wavefront(
-        static, scene, trace_fn, inst_mats, state, ray_o, ray_d,
+        static, scene, trace_fn, geom, state, ray_o, ray_d,
         max_depth=max_depth,
     )
 
@@ -431,6 +505,8 @@ class BatchGeometry(NamedTuple):
     world_n: jnp.ndarray
     sph_w2o: jnp.ndarray   # [S,3,4] world-to-object per sphere
     sph_table: jnp.ndarray # [S,5] world c/r/k (host-precomputed per batch)
+    prim_rows: jnp.ndarray # [P,64] combined per-primitive rows (fat path;
+                           # [1,64] dummy otherwise)
 
 
 def prepare_batch(static: SceneStatic, scene: SceneArrays,
@@ -458,8 +534,28 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
         sph_w2o = jnp.zeros((scene.sph_center.shape[0], 3, 4), jnp.float32)
     if sph_table is None:
         sph_table = jnp.zeros((scene.sph_center.shape[0], 5), jnp.float32)
+
+    # Combined per-primitive rows: ONE fetch per bounce serves shading,
+    # sphere attributes, and NEE's instance transform.
+    # [0:32] shading row | [32:44] w2o | [44:47] obj center | [47] radius
+    # | [48] instance id | [49:64] pad.
+    if static.use_fat_shading:
+        s_pad = scene.sph_center.shape[0]
+        P = scene.shade_rows.shape[0]
+        rows = jnp.zeros((P, 64), jnp.float32)
+        rows = rows.at[:, 0:32].set(scene.shade_rows)
+        rows = rows.at[:s_pad, 32:44].set(sph_w2o.reshape(s_pad, 12))
+        rows = rows.at[:s_pad, 44:47].set(scene.sph_center)
+        rows = rows.at[:s_pad, 47].set(scene.sph_radius)
+        rows = rows.at[:s_pad, 48].set(scene.sph_inst.astype(jnp.float32))
+        rows = rows.at[s_pad:, 48].set(scene.tri_inst.astype(jnp.float32))
+        prim_rows = rows
+    else:
+        prim_rows = jnp.zeros((1, 64), jnp.float32)
+
     return BatchGeometry(inst_mats=inst_mats, world_p=world_p, world_n=world_n,
-                         sph_w2o=sph_w2o, sph_table=jnp.asarray(sph_table))
+                         sph_w2o=sph_w2o, sph_table=jnp.asarray(sph_table),
+                         prim_rows=prim_rows)
 
 
 def render_tile_step(
@@ -486,6 +582,6 @@ def render_tile_step(
     else:
         trace_fn = trace_builder(static, scene, geom)
     return render_tile(
-        static, scene, cam, trace_fn, geom.inst_mats,
+        static, scene, cam, trace_fn, geom,
         sample_batch, row0, rows_per_tile, use_dof, max_depth=max_depth,
     )

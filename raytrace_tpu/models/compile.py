@@ -462,7 +462,9 @@ def compile_scene(scene: SceneFile, width: Optional[int] = None,
         tri_mi = np.zeros(0, np.int32)
 
     num_spheres = len(sph_radius)
-    SPH_PAD = 128
+    # Pad to a multiple of 8: the sweep runs spheres on the sublane axis
+    # ([C, R] layout), so 8 is a full tile and tiny scenes waste nothing.
+    SPH_PAD = 8
     s_padded = max(SPH_PAD, -(-max(num_spheres, 1) // SPH_PAD) * SPH_PAD)
     sph_center_a = np.zeros((s_padded, 3), np.float32)
     sph_radius_a = np.zeros(s_padded, np.float32)  # r=0 padding never hits

@@ -139,8 +139,9 @@ def intersect_spheres_world(o, d, table, active=None, chunk=128,
     """Closest hit against world-space spheres via the stable h-form.
 
     table: [S, 5] = (cx, cy, cz, r, k) with k = |c|^2 - r^2 precomputed in
-    f64.  The rays x spheres sweep is two MXU matmuls plus [R, C]
-    elementwise work — no [R, C, 3] intermediates.
+    f64.  The rays x spheres sweep is two MXU matmuls plus [C, R]
+    elementwise work — the sphere axis rides the SUBLANE dimension so tiny
+    sphere counts (padded to 8) still fill all 128 lanes with rays.
     """
     R = o.shape[0]
     S = table.shape[0]
@@ -166,20 +167,20 @@ def intersect_spheres_world(o, d, table, active=None, chunk=128,
         c = tb[:, 0:3]
         r = tb[:, 3]
         k = tb[:, 4]
-        dc = jnp.dot(d, c.T, precision=hp)                    # [R,C]
-        oc = jnp.dot(o, c.T, precision=hp)                    # [R,C]
-        h = d_dot_o[:, None] - dc
-        c2 = o_sq[:, None] - 2.0 * oc + k[None, :]
-        disc = h * h - a[:, None] * c2
-        ok = (disc >= 0.0) & (r[None, :] > 0.0)
+        dc = jnp.dot(c, d.T, precision=hp)                    # [C,R]
+        oc = jnp.dot(c, o.T, precision=hp)                    # [C,R]
+        h = d_dot_o[None, :] - dc
+        c2 = o_sq[None, :] - 2.0 * oc + k[:, None]
+        disc = h * h - a[None, :] * c2
+        ok = (disc >= 0.0) & (r[:, None] > 0.0)
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-h - sq) * inv_a[:, None]
-        t2 = (-h + sq) * inv_a[:, None]
+        t1 = (-h - sq) * inv_a[None, :]
+        t2 = (-h + sq) * inv_a[None, :]
         t1_ok = ok & (t1 > t_min) & (t1 < t_max)
         t2_ok = ok & (t2 > t_min) & (t2 < t_max)
-        t = jnp.where(t1_ok, t1, jnp.where(t2_ok, t2, t_max))
-        arg = jnp.argmin(t, axis=1)
-        tc = jnp.take_along_axis(t, arg[:, None], axis=1)[:, 0]
+        t = jnp.where(t1_ok, t1, jnp.where(t2_ok, t2, t_max))  # [C,R]
+        arg = jnp.argmin(t, axis=0)                            # [R]
+        tc = jnp.min(t, axis=0)
         better = tc < best.t
         return SphereHit(
             t=jnp.where(better, tc, best.t),

@@ -66,7 +66,7 @@ def sharded_batch_fn(static: SceneStatic, mesh: Mesh, use_dof: bool):
         sp_rank = jax.lax.axis_index("sp")
         row0 = (px_rank * rows_local).astype(jnp.int32)
         tile_sum, rays = render_tile(
-            static, scene, cam, _trace(static, scene, geom), geom.inst_mats,
+            static, scene, cam, _trace(static, scene, geom), geom,
             sample_batch, row0, rows_local, use_dof,
             spp_local=spp_local,
             sample_base=(sp_rank * spp_local).astype(jnp.uint32),
