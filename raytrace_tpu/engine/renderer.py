@@ -64,6 +64,7 @@ class Renderer:
         trace_builder=None,
         use_bvh="auto",
         leaf_size: int = 4,
+        metrics_jsonl: Optional[str] = None,
     ):
         self.compiled = compiled
         bvh = None
@@ -130,6 +131,13 @@ class Renderer:
         # Runtime-adjustable (traced, never recompiles).
         self.max_depth = compiled.render.max_ray_depth
         self.stats = RenderStats()
+        from ..utils.profiling import BatchMetrics
+
+        self.metrics = BatchMetrics(
+            pixels=self.static.width * self.static.height,
+            spp=self.static.sqrt_spp ** 2,
+            jsonl_path=metrics_jsonl,
+        )
 
     # ------------------------------------------------------------- steps
 
@@ -162,6 +170,7 @@ class Renderer:
         self.accum = (b * self.accum + img) / (b + 1.0)
         rays = float(jnp.sum(jnp.stack(ray_counts)))  # blocks until done
         dt = _time.perf_counter() - t0
+        self.metrics.record(self.current_batch, dt, rays)
         self.current_batch += 1
         self.stats.batches_done += 1
         self.stats.rays_traced += rays
