@@ -74,13 +74,13 @@ def build_sah_bvh(tri_mn: np.ndarray, tri_mx: np.ndarray, leaf_max: int = 8):
     n = t.shape[0]
     rows = np.zeros((max(1, n), 16), np.float32)
     order = np.zeros(n, np.int32)
-    root = ctypes.c_int32(0)
+    root_depth = np.zeros(2, np.int32)
     fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     n_nodes = lib.rtpu_build_bvh(
         fp(t), fp(x), np.int32(n), np.int32(leaf_max),
-        fp(rows), ip(order), ctypes.byref(root),
+        fp(rows), ip(order), ip(root_depth),
     )
     if n_nodes < 0:
         raise ValueError("rtpu_build_bvh failed")
-    return rows[:n_nodes], order, int(root.value)
+    return rows[:n_nodes], order, int(root_depth[0]), int(root_depth[1])

@@ -53,10 +53,10 @@ struct Builder {
   const float* tri_mn;  // [T,3]
   const float* tri_mx;  // [T,3]
   int leaf_max;
+  int32_t max_depth = 0;
   std::vector<int32_t> order;       // triangle permutation being built
   std::vector<float> centroids;     // [T,3]
   std::vector<float> rows;          // 16 floats per internal node
-  std::vector<int32_t> parent_slot; // fixup locations
 
   AABB tri_box(int32_t t) const {
     AABB b;
@@ -72,7 +72,8 @@ struct Builder {
   }
 
   // Builds the subtree over order[lo, hi); returns a child link.
-  int32_t build(int32_t lo, int32_t hi) {
+  int32_t build(int32_t lo, int32_t hi, int32_t depth = 0) {
+    if (depth > max_depth) max_depth = depth;
     int32_t n = hi - lo;
     if (n <= leaf_max) return leaf_link(lo, n);
 
@@ -140,8 +141,8 @@ struct Builder {
     int32_t node = (int32_t)(rows.size() / 16);
     rows.resize(rows.size() + 16, 0.f);
 
-    int32_t l0 = build(lo, mid);
-    int32_t l1 = build(mid, hi);
+    int32_t l0 = build(lo, mid, depth + 1);
+    int32_t l1 = build(mid, hi, depth + 1);
 
     // Child AABBs over their triangle ranges (from links or recursion —
     // recompute from ranges for simplicity: ranges are [lo,mid),[mid,hi)).
@@ -167,7 +168,8 @@ extern "C" {
 // Returns the number of internal nodes (rows) written, or -1 on error.
 // rows_out must have capacity >= 16 * max(1, num_tris) floats.
 // order_out must have capacity num_tris int32s.
-// root_out receives the root link (negative = single-leaf scene).
+// root_out receives [0] the root link (negative = single-leaf scene) and
+// [1] the tree depth.
 int32_t rtpu_build_bvh(const float* tri_mn, const float* tri_mx,
                        int32_t num_tris, int32_t leaf_max,
                        float* rows_out, int32_t* order_out,
@@ -187,7 +189,8 @@ int32_t rtpu_build_bvh(const float* tri_mn, const float* tri_mx,
   b.rows.reserve((size_t)num_tris * 4);
 
   int32_t root = b.build(0, num_tris);
-  *root_out = root;
+  root_out[0] = root;
+  root_out[1] = b.max_depth;
 
   std::memcpy(order_out, b.order.data(), (size_t)num_tris * 4);
   int32_t n_nodes = (int32_t)(b.rows.size() / 16);

@@ -96,10 +96,12 @@ class SceneStatic:
     sqrt_spp: int
     width: int
     height: int
-    # BVH geometry (0 leaves → brute-force tracer)
+    # BVH geometry ("none" → brute-force tracer)
+    bvh_mode: str = "none"        # "none" | "implicit" | "sah"
     bvh_num_leaves: int = 0
     bvh_leaf_size: int = 4
     bvh_stack_depth: int = 0
+    bvh_root: int = 0
     # shading / sphere fast paths
     use_fat_shading: bool = False
     sphere_world_mode: bool = False
@@ -169,9 +171,11 @@ def upload_scene(cs: CompiledScene, bvh=None, sharding=None):
         sqrt_spp=int(cs.render.sqrt_spp),
         width=int(cs.render.width),
         height=int(cs.render.height),
+        bvh_mode=bvh.mode if bvh is not None else "none",
         bvh_num_leaves=int(bvh.num_leaves) if bvh is not None else 0,
         bvh_leaf_size=int(bvh.leaf_size) if bvh is not None else 4,
         bvh_stack_depth=int(bvh.depth + 2) if bvh is not None else 0,
+        bvh_root=int(bvh.root) if bvh is not None else 0,
         use_fat_shading=cs.shade_rows is not None,
     )
     return arrays, static

@@ -74,9 +74,13 @@ class Renderer:
         if use_bvh == "auto":
             use_bvh = compiled.num_triangles > 8192
         if use_bvh and compiled.num_triangles > 0:
-            from ..models.bvh_build import build_bvh, permute_soup
+            from ..models.bvh_build import build_bvh, build_bvh_sah, permute_soup
 
-            bvh = build_bvh(compiled, leaf_size=leaf_size)
+            # Prefer the native binned-SAH builder (far better tree quality
+            # than the Morton/implicit fallback).
+            bvh = build_bvh_sah(compiled, leaf_max=8)
+            if bvh is None:
+                bvh = build_bvh(compiled, leaf_size=leaf_size)
             compiled = permute_soup(compiled, bvh)
             self.compiled = compiled
         self.bvh = bvh

@@ -114,7 +114,16 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
 
         tri_hit = None
         if use_tris:
-            if static.bvh_num_leaves > 0:
+            if static.bvh_mode == "sah":
+                from ..ops.bvh import BVHArrays, pack_world_tris, traverse_sah
+
+                v0, e1, e2 = pack_world_tris(world_p)
+                tri_hit = traverse_sah(
+                    BVHArrays(scene.bvh_child_boxes, v0, e1, e2),
+                    static.bvh_root, static.bvh_leaf_size,
+                    static.bvh_stack_depth, o, d, active=alive,
+                )
+            elif static.bvh_mode == "implicit":
                 from ..ops.bvh import BVHArrays, pack_world_tris, traverse
 
                 v0, e1, e2 = pack_world_tris(world_p)

@@ -34,13 +34,23 @@ BIG = np.float32(3.0e38)
 @dataclass
 class BVHData:
     """Host-built BVH.  `order` maps sorted-soup position → original soup row
-    (apply it to every per-triangle array before upload)."""
+    (apply it to every per-triangle array before upload).
+
+    Two layouts share the [N, 16] node-row format:
+    - mode "implicit": Morton-ordered complete binary tree; children of heap
+      node i are 2i+1 / 2i+2, leaves are fixed runs of `leaf_size` rows.
+    - mode "sah": binned-SAH tree from the native builder; rows carry
+      explicit child links bitcast into float slots 12/13 (negative link =
+      leaf encoding -(1 + (first << 5 | count)), count <= leaf_size).
+    """
 
     order: np.ndarray        # [T_padded] int32 permutation (incl. padding rows)
-    child_boxes: np.ndarray  # [K-1, 16] f32: child0 min/max, child1 min/max, pad
-    num_leaves: int          # K (power of two)
-    leaf_size: int           # L
+    child_boxes: np.ndarray  # [N, 16]
+    num_leaves: int          # K (power of two; implicit mode only)
+    leaf_size: int           # L / leaf_max
     depth: int               # tree depth (root=0); stack bound for traversal
+    mode: str = "implicit"
+    root: int = 0            # sah root link
 
 
 def _expand_bits(v: np.ndarray) -> np.ndarray:
@@ -169,6 +179,45 @@ def build_bvh(cs: CompiledScene, leaf_size: int = 4,
         num_leaves=K,
         leaf_size=L,
         depth=int(np.log2(K)) if K > 1 else 0,
+    )
+
+
+def build_bvh_sah(cs: CompiledScene, leaf_max: int = 8,
+                  time_samples: int = 9) -> Optional[BVHData]:
+    """Binned-SAH BVH via the native builder (native/bvh_builder.cc) over
+    shutter-conservative world AABBs.  Returns None when the native library
+    is unavailable (callers fall back to the Morton/implicit builder)."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    try:
+        from native import build_sah_bvh
+    except ImportError:
+        return None
+
+    mn, mx = world_triangle_bounds(cs, time_samples=time_samples)
+    n = cs.num_triangles
+    out = build_sah_bvh(mn[:n], mx[:n], leaf_max=leaf_max)
+    if out is None:
+        return None
+    rows, order_real, root, depth = out
+    if rows.shape[0] == 0:  # single-leaf scene: no internal nodes
+        rows = np.zeros((1, 16), np.float32)
+
+    # Order padded with -1 rows to a multiple of 256 (degenerate padding).
+    total = max(256, -(-n // 256) * 256)
+    order = np.full(total, -1, np.int64)
+    order[:n] = order_real
+    return BVHData(
+        order=order,
+        child_boxes=rows,
+        num_leaves=0,
+        leaf_size=leaf_max,
+        depth=depth,
+        mode="sah",
+        root=root,
     )
 
 

@@ -116,6 +116,70 @@ class TestTraversal:
         assert (np.asarray(hit.tri)[~np.asarray(alive)] == -1).all()
 
 
+class TestSAH:
+    @pytest.mark.parametrize("n_tris", [5, 64, 1000])
+    def test_matches_brute_force(self, n_tris):
+        from raytrace_tpu.models.bvh_build import build_bvh_sah
+        from raytrace_tpu.ops.bvh import BVHArrays, pack_world_tris, traverse_sah
+
+        cs = _random_soup_scene(n_tris, seed=n_tris + 7)
+        bvh = build_bvh_sah(cs, leaf_max=8)
+        if bvh is None:
+            pytest.skip("native builder unavailable")
+        assert bvh.mode == "sah"
+        csp = permute_soup(cs, bvh)
+
+        rs = np.random.default_rng(5)
+        R = 256
+        o = rs.uniform(-15, 15, (R, 3)).astype(np.float32)
+        d = rs.normal(size=(R, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+        world = jnp.asarray(csp.tri_p)
+        v0, e1, e2 = pack_world_tris(world)
+        hb = traverse_sah(
+            BVHArrays(jnp.asarray(bvh.child_boxes), v0, e1, e2),
+            bvh.root, bvh.leaf_size, bvh.depth + 2,
+            jnp.asarray(o), jnp.asarray(d), active=jnp.ones(R, bool),
+        )
+        href = intersect.intersect_brute_force(jnp.asarray(o), jnp.asarray(d), world)
+        np.testing.assert_allclose(np.asarray(hb.t), np.asarray(href.t), rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(hb.tri) < 0, np.asarray(href.tri) < 0
+        )
+        assert (np.asarray(hb.tri) == np.asarray(href.tri)).mean() > 0.99
+
+    def test_obj_scene_renders_with_sah(self, tmp_path):
+        """OBJ mesh import + SAH BVH end-to-end."""
+        from raytrace_tpu.scene_file import (
+            ConstantTexture, Instance, Lambertian, ObjMesh, PerspectiveCamera,
+            Render, SceneFile as SF, SolidSky,
+        )
+        from raytrace_tpu.engine import Renderer
+
+        sf = SF(
+            cameras=[PerspectiveCamera(name="c", eye=[0, 0, 5], look_at=[0, 0, 0],
+                                       up=[0, 1, 0], fov_y=40, z_near=0.01,
+                                       z_far=100, focal_length=1, aperture_size=0)],
+            textures=[ConstantTexture(name="w", rgb=[0.7, 0.7, 0.7])],
+            materials=[Lambertian(name="m", albedo="w")],
+            primitives=[ObjMesh(name="mesh",
+                                path="/root/reference/assets/obj/sphere-smooth.obj",
+                                material="m")],
+            instances=[Instance(name="mesh")],
+            sky=SolidSky(rgb=[1.0, 1.0, 1.0]),
+            render=Render(camera="c", samples_per_pixel=4, sample_batches=1,
+                          max_ray_depth=5, aspect_ratio=1.0),
+        )
+        cs = compile_scene(sf, width=32, height=32)
+        r_bvh = Renderer(cs, use_bvh=True)
+        img_bvh = r_bvh.render_all()
+        img_brute = Renderer(cs, use_bvh=False).render_all()
+        np.testing.assert_allclose(img_bvh, img_brute, atol=1e-4)
+        # Object visible in the center.
+        assert img_bvh[16, 16].mean() < 0.98
+
+
 class TestRendererIntegration:
     def _render_both(self, asset, width=24, height=24, spp=4):
         sf = SceneFile.load_json(reference_asset(asset))
