@@ -126,7 +126,20 @@ def main(argv=None) -> int:
     pg.set_defaults(fn=cmd_generate)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        log.error("file not found: %s", e.filename or e)
+        return 2
+    except Exception as e:
+        # Scene/config errors get a clean message (the reference's anyhow
+        # chain equivalent); unexpected errors keep the traceback.
+        from .scene_file import SceneError
+
+        if isinstance(e, SceneError):
+            log.error("%s", e)
+            return 2
+        raise
 
 
 if __name__ == "__main__":

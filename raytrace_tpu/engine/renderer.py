@@ -108,10 +108,11 @@ class Renderer:
         )
 
         if rows_per_tile is None:
-            # Budget ~512k rays per tile: big enough to saturate the chip,
-            # small enough that one dispatch stays well under any watchdog.
+            # Budget ~1M rays per tile: big enough to saturate the chip and
+            # amortize dispatch overhead, small enough that one dispatch
+            # stays well under any device watchdog.
             spp = max(1, self.static.sqrt_spp ** 2)
-            rows_per_tile = max(1, (1 << 19) // (self.static.width * spp))
+            rows_per_tile = max(1, (1 << 20) // (self.static.width * spp))
         self.rows_per_tile = min(rows_per_tile, self.static.height)
 
         use_dof = compiled.cameras[name].aperture_size > 0.0

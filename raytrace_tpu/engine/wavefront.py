@@ -75,10 +75,23 @@ class BounceState(NamedTuple):
 
 
 def _compact_size(R: int) -> int:
-    """Phase-2 wavefront size (0 disables compaction for small wavefronts)."""
+    """Next compaction size after R (0 = stop compacting)."""
     if R < 16384:
         return 0
     return max(2048, (R // 8 + 1023) // 1024 * 1024)
+
+
+def _compact_schedule(R: int):
+    """Descending wavefront sizes for the multi-phase bounce loop."""
+    sizes = []
+    cur = R
+    while True:
+        nxt = _compact_size(cur)
+        if nxt == 0 or nxt >= cur:
+            break
+        sizes.append(nxt)
+        cur = nxt
+    return sizes
 
 
 def _background(static: SceneStatic, scene: SceneArrays, n: int):
@@ -414,40 +427,54 @@ def bounce_wavefront(
             rays_traced=rays_traced,
         )
 
-    # --- two-phase execution with tail compaction -------------------------
+    # --- multi-phase execution with tail compaction -----------------------
     # Every while iteration costs O(R) regardless of how many rays are still
     # alive, and scenes run to max_ray_depth=50 while the mean path length
-    # is ~2-5 — so the tail dominates.  Phase 1 runs the full wavefront
-    # until the alive count drops to R/8; survivors are compacted (sorted
-    # alive-first) into an R/8 wavefront for the remaining bounces, cutting
-    # tail cost 8x.  Contributions scatter back by index at the end.
-    R2 = _compact_size(R)
-    if R2 == 0:
+    # is ~2-5 — so the tail dominates.  Each phase runs until the alive
+    # count drops below the next (8x smaller) wavefront size, then the
+    # survivors are compacted (sorted alive-first) and the loop continues
+    # at 1/8 cost.  Contributions scatter back by index after each phase.
+    sizes = _compact_schedule(R)
+    if not sizes:
         final = jax.lax.while_loop(cond, body, init)
         return final.accumulated, final.state, final.rays_traced
 
-    def cond1(s: BounceState):
-        return (s.depth > 0) & (jnp.sum(s.alive) > R2)
+    accumulated_total = jnp.zeros((R, 3), jnp.float32)
+    state_out = init.state
+    rays_total = jnp.float32(0.0)
+    sel_chain = jnp.arange(R)  # composed selection back to original indices
+    s_cur = init
 
-    s1 = jax.lax.while_loop(cond1, body, init)
+    for next_size in sizes + [0]:
+        if next_size > 0:
+            def cond_phase(s, _n=next_size):
+                return (s.depth > 0) & (jnp.sum(s.alive) > _n)
+        else:
+            cond_phase = cond
+        s_cur = jax.lax.while_loop(cond_phase, body, s_cur)
 
-    # Compact: alive rays first (order is irrelevant — rays are independent).
-    sel = jnp.argsort(~s1.alive)[:R2]
-    init2 = BounceState(
-        depth=s1.depth,
-        state=s1.state[sel],
-        ray_o=s1.ray_o[sel],
-        ray_d=s1.ray_d[sel],
-        throughput=s1.throughput[sel],
-        accumulated=jnp.zeros((R2, 3), jnp.float32),
-        alive=s1.alive[sel],
-        rays_traced=jnp.float32(0.0),
-    )
-    s2 = jax.lax.while_loop(cond, body, init2)
+        idx = sel_chain
+        accumulated_total = accumulated_total.at[idx].add(s_cur.accumulated)
+        state_out = state_out.at[idx].set(s_cur.state)
+        rays_total = rays_total + s_cur.rays_traced
 
-    accumulated = s1.accumulated.at[sel].add(s2.accumulated)
-    state = s1.state.at[sel].set(s2.state)
-    return accumulated, state, s1.rays_traced + s2.rays_traced
+        if next_size == 0:
+            break
+
+        sel = jnp.argsort(~s_cur.alive)[:next_size]
+        sel_chain = idx[sel]
+        s_cur = BounceState(
+            depth=s_cur.depth,
+            state=s_cur.state[sel],
+            ray_o=s_cur.ray_o[sel],
+            ray_d=s_cur.ray_d[sel],
+            throughput=s_cur.throughput[sel],
+            accumulated=jnp.zeros((next_size, 3), jnp.float32),
+            alive=s_cur.alive[sel],
+            rays_traced=jnp.float32(0.0),
+        )
+
+    return accumulated_total, state_out, rays_total
 
 
 def render_tile(
