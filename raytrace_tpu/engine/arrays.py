@@ -105,6 +105,9 @@ class SceneStatic:
     # shading / sphere fast paths
     use_fat_shading: bool = False
     sphere_world_mode: bool = False
+    # fused Pallas sphere sweep (TPU; interpret-mode on CPU for tests)
+    use_pallas_sweep: bool = False
+    pallas_interpret: bool = False
 
 
 def upload_scene(cs: CompiledScene, bvh=None, sharding=None):

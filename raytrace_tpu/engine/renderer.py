@@ -65,6 +65,7 @@ class Renderer:
         use_bvh="auto",
         leaf_size: int = 4,
         metrics_jsonl: Optional[str] = None,
+        use_pallas_sweep: Optional[bool] = None,
     ):
         self.compiled = compiled
         bvh = None
@@ -97,8 +98,13 @@ class Renderer:
 
             self.sphere_tables = world_sphere_tables(compiled, self.batch_times)
             if self.sphere_tables is not None:
+                on_tpu = jax.default_backend() not in ("cpu",)
+                use_pallas = use_pallas_sweep if use_pallas_sweep is not None else on_tpu
                 self.static = dataclasses.replace(
-                    self.static, sphere_world_mode=True
+                    self.static,
+                    sphere_world_mode=True,
+                    use_pallas_sweep=use_pallas,
+                    pallas_interpret=not on_tpu,
                 )
         name = camera_name or compiled.render.camera
         if name not in compiled.cameras:

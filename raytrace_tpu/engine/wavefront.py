@@ -154,7 +154,14 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
 
         sph_hit = None
         if use_spheres:
-            if static.sphere_world_mode:
+            if static.sphere_world_mode and static.use_pallas_sweep:
+                from ..ops.pallas_sweep import intersect_spheres_pallas
+
+                sph_hit = intersect_spheres_pallas(
+                    o, d, geom.sph_table8, active=alive,
+                    interpret=static.pallas_interpret,
+                )
+            elif static.sphere_world_mode:
                 sph_hit = spheres.intersect_spheres_world(
                     o, d, geom.sph_table, active=alive,
                     chunk=min(128, s_pad),
@@ -541,6 +548,7 @@ class BatchGeometry(NamedTuple):
     world_n: jnp.ndarray
     sph_w2o: jnp.ndarray   # [S,3,4] world-to-object per sphere
     sph_table: jnp.ndarray # [S,5] world c/r/k (host-precomputed per batch)
+    sph_table8: jnp.ndarray # [S8,8] kernel-layout table for the Pallas sweep
     prim_rows: jnp.ndarray # [P,64] combined per-primitive rows (fat path;
                            # [1,64] dummy otherwise)
 
@@ -570,6 +578,12 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
         sph_w2o = jnp.zeros((scene.sph_center.shape[0], 3, 4), jnp.float32)
     if sph_table is None:
         sph_table = jnp.zeros((scene.sph_center.shape[0], 5), jnp.float32)
+    if static.use_pallas_sweep:
+        from ..ops.pallas_sweep import pad_table8
+
+        sph_table8 = pad_table8(jnp.asarray(sph_table))
+    else:
+        sph_table8 = jnp.zeros((8, 8), jnp.float32)
 
     # Combined per-primitive rows: ONE fetch per bounce serves shading,
     # sphere attributes, and NEE's instance transform.
@@ -591,7 +605,7 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
 
     return BatchGeometry(inst_mats=inst_mats, world_p=world_p, world_n=world_n,
                          sph_w2o=sph_w2o, sph_table=jnp.asarray(sph_table),
-                         prim_rows=prim_rows)
+                         sph_table8=sph_table8, prim_rows=prim_rows)
 
 
 def render_tile_step(
