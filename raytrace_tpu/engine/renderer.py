@@ -89,22 +89,33 @@ class Renderer:
 
         self.batch_times = get_batch_ray_times(compiled.render.sample_batches)
 
+        import dataclasses
+
+        # Fused Pallas sweeps: on by default on TPU, interpret mode on CPU
+        # only when explicitly requested (tests).
+        on_tpu = jax.default_backend() not in ("cpu",)
+        use_pallas = use_pallas_sweep if use_pallas_sweep is not None else on_tpu
+        self.static = dataclasses.replace(
+            self.static,
+            use_pallas_sweep=use_pallas,
+            pallas_interpret=not on_tpu,
+        )
+
         # World-space sphere tables per batch time (host f64 -> f32); None
         # when a sphere instance has non-uniform scale (ellipsoid path).
         self.sphere_tables = None
         if self.static.has_spheres:
             from ..ops.spheres import world_sphere_tables
-            import dataclasses
 
             self.sphere_tables = world_sphere_tables(compiled, self.batch_times)
             if self.sphere_tables is not None:
-                on_tpu = jax.default_backend() not in ("cpu",)
-                use_pallas = use_pallas_sweep if use_pallas_sweep is not None else on_tpu
                 self.static = dataclasses.replace(
-                    self.static,
-                    sphere_world_mode=True,
-                    use_pallas_sweep=use_pallas,
-                    pallas_interpret=not on_tpu,
+                    self.static, sphere_world_mode=True
+                )
+            else:
+                # Object-space sphere path has no Pallas kernel yet.
+                self.static = dataclasses.replace(
+                    self.static, use_pallas_sweep=False
                 )
         name = camera_name or compiled.render.camera
         if name not in compiled.cameras:

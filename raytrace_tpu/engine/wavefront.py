@@ -145,6 +145,13 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
                     static.bvh_num_leaves, static.bvh_leaf_size,
                     static.bvh_stack_depth, o, d, active=alive,
                 )
+            elif static.use_pallas_sweep:
+                from ..ops.pallas_tri_sweep import intersect_tris_pallas
+
+                tri_hit = intersect_tris_pallas(
+                    o, d, geom.tri_table16, active=alive,
+                    interpret=static.pallas_interpret,
+                )
             else:
                 tri_hit = intersect.intersect_brute_force(
                     o, d, world_p, active=alive,
@@ -549,6 +556,7 @@ class BatchGeometry(NamedTuple):
     sph_w2o: jnp.ndarray   # [S,3,4] world-to-object per sphere
     sph_table: jnp.ndarray # [S,5] world c/r/k (host-precomputed per batch)
     sph_table8: jnp.ndarray # [S8,8] kernel-layout table for the Pallas sweep
+    tri_table16: jnp.ndarray # [T8,16] kernel-layout triangles (Pallas sweep)
     prim_rows: jnp.ndarray # [P,64] combined per-primitive rows (fat path;
                            # [1,64] dummy otherwise)
 
@@ -584,6 +592,12 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
         sph_table8 = pad_table8(jnp.asarray(sph_table))
     else:
         sph_table8 = jnp.zeros((8, 8), jnp.float32)
+    if static.use_pallas_sweep and static.has_tris and static.bvh_mode == "none":
+        from ..ops.pallas_tri_sweep import pack_tri_table
+
+        tri_table16 = pack_tri_table(world_p, static.num_triangles)
+    else:
+        tri_table16 = jnp.zeros((8, 16), jnp.float32)
 
     # Combined per-primitive rows: ONE fetch per bounce serves shading,
     # sphere attributes, and NEE's instance transform.
@@ -605,7 +619,8 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
 
     return BatchGeometry(inst_mats=inst_mats, world_p=world_p, world_n=world_n,
                          sph_w2o=sph_w2o, sph_table=jnp.asarray(sph_table),
-                         sph_table8=sph_table8, prim_rows=prim_rows)
+                         sph_table8=sph_table8, tri_table16=tri_table16,
+                         prim_rows=prim_rows)
 
 
 def render_tile_step(
