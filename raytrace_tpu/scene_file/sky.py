@@ -4,7 +4,7 @@ Two sky models: a solid colour and a "vertical gradient".  NOTE the reference
 shader evaluates the gradient as ``mix(top, bottom, factor)`` with a constant
 factor — the ray direction is ignored (ray_gen.glsl:443-455), so a gradient
 sky is effectively a solid colour.  We replicate that behaviour for pixel
-parity (see raytrace_tpu/ops/sky.py).
+parity (see engine/wavefront._background).
 """
 
 from __future__ import annotations

@@ -256,3 +256,40 @@ def test_triangle_asset_smoke():
     # Triangle interior differs from sky.
     assert not np.allclose(img[20, 16], expected_sky, atol=0.05)
     assert r.stats.rays_traced > 32 * 32 * 4
+
+
+def test_update_image_size_resets_accumulation():
+    """Resize restarts progressive rendering (render_engine.rs:397-414)."""
+    scene = make_scene(
+        [ConstantTexture(name="g", rgb=[0.5, 0.6, 0.7])],
+        [Lambertian(name="m", albedo="g")],
+        [UvSphere(name="s", center=[0, 0, -3], radius=1.5, rings=8, segments=16,
+                  material="m")],
+        [Instance(name="s")],
+        SolidSky(rgb=[0.9, 0.9, 0.9]),
+        spp=1, batches=2, depth=4,
+    )
+    cs = compile_scene(scene, width=16, height=16)
+    r = Renderer(cs)
+    r.render_next_batch()
+    r2 = r.update_image_size(24, 24)
+    assert (r2.static.width, r2.static.height) == (24, 24)
+    assert r2.current_batch == 0
+    img = r2.render_all()
+    assert img.shape == (24, 24, 3)
+
+
+def test_camera_lookup_by_name():
+    scene = make_scene(
+        [ConstantTexture(name="g", rgb=[0.5, 0.5, 0.5])],
+        [Lambertian(name="m", albedo="g")],
+        [UvSphere(name="s", center=[0, 0, -3], radius=1.0, rings=4, segments=8,
+                  material="m")],
+        [Instance(name="s")],
+        SolidSky(rgb=[1, 1, 1]),
+        spp=1, batches=1, depth=2,
+    )
+    cs = compile_scene(scene, width=8, height=8)
+    with pytest.raises(KeyError, match="not found"):
+        Renderer(cs, camera_name="nope")
+    Renderer(cs, camera_name="cam")  # by-name lookup works
