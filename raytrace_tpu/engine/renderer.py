@@ -146,6 +146,15 @@ class Renderer:
             )
         )
 
+        H = self.static.height
+
+        def _finish(accum, tiles, ray_counts, b):
+            img = jnp.concatenate(tiles, axis=0)[:H]
+            bf = b.astype(jnp.float32)
+            return (bf * accum + img) / (bf + 1.0), jnp.sum(jnp.stack(ray_counts))
+
+        self._finish = jax.jit(_finish, donate_argnums=(0,))
+
         self.accum = jnp.zeros(
             (self.static.height, self.static.width, 3), jnp.float32
         )
@@ -187,10 +196,10 @@ class Renderer:
             )
             tiles.append(tile)
             ray_counts.append(tr)
-        img = jnp.concatenate(tiles, axis=0)[:H]
-        b = jnp.float32(self.current_batch)
-        self.accum = (b * self.accum + img) / (b + 1.0)
-        rays = float(jnp.sum(jnp.stack(ray_counts)))  # blocks until done
+        self.accum, rays_dev = self._finish(
+            self.accum, tiles, ray_counts, jnp.int32(self.current_batch)
+        )
+        rays = float(rays_dev)  # blocks until the batch finishes
         dt = _time.perf_counter() - t0
         self.metrics.record(self.current_batch, dt, rays)
         self.current_batch += 1

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import camera as cam_ops
-from ..ops import intersect, materials, nee, rng, spheres, transforms
+from ..ops import intersect, materials, nee, rng, spheres, transforms, vec
 from ..ops.intersect import T_MAX, T_MIN
 from ..ops.materials import LIGHT_PDF
 from .arrays import SceneArrays, SceneStatic
@@ -246,9 +246,7 @@ def reconstruct_hit(static: SceneStatic, scene: SceneArrays,
         p_obj = jnp.einsum("rij,rj->ri", w2o[:, :, :3], sp) + w2o[:, :, 3]
         n_obj = (p_obj - c) / jnp.where(r == 0.0, 1.0, r)[:, None]
         sn = jnp.einsum("rj,rji->ri", n_obj, w2o[:, :, :3])
-        nn = n_obj / jnp.maximum(
-            jnp.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-20
-        )
+        nn = vec.normalize(n_obj)
         sv = jnp.arccos(jnp.clip(-nn[:, 1], -1.0, 1.0)) / spheres.PI
         su = (jnp.arctan2(nn[:, 2], -nn[:, 0]) / spheres.TWO_PI) % 1.0
 
@@ -264,7 +262,7 @@ def reconstruct_hit(static: SceneStatic, scene: SceneArrays,
         n, p = tri_n_hit, tri_p_hit
         u, v = tri_uv_hit[:, 0], tri_uv_hit[:, 1]
 
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    n = vec.normalize(n)
 
     if rows is not None:
         mat_type = rows[:, 0].astype(jnp.int32)
@@ -399,8 +397,7 @@ def bounce_wavefront(
                 0.0,
             )
             mis_throughput = s.throughput * srec.attenuation * ratio[:, None]
-            sd_norm = jnp.maximum(jnp.linalg.norm(sdir, axis=-1, keepdims=True), 1e-20)
-            mis_dir = sdir / sd_norm
+            mis_dir = vec.normalize(sdir)
         else:
             # No lights: pdfValue == scatteringPdf and the ratio cancels to 1
             # except where the cosine pdf is exactly 0 (the reference's 0/0;
@@ -417,8 +414,7 @@ def bounce_wavefront(
             )
             ratio = jnp.where(scatter_pdf > 0.0, 1.0, 0.0)
             mis_throughput = s.throughput * srec.attenuation * ratio[:, None]
-            sd_norm = jnp.maximum(jnp.linalg.norm(sdir, axis=-1, keepdims=True), 1e-20)
-            mis_dir = sdir / sd_norm
+            mis_dir = vec.normalize(sdir)
 
         use_skip = srec.skip_pdf
         new_throughput = jnp.where(

@@ -103,7 +103,8 @@ def get_rays(state, cam: CameraArrays, px, py, si, sj, width, height, sqrt_spp,
     target = (
         pi[:3, 0] * d[..., 0:1] + pi[:3, 1] * d[..., 1:2] + pi[:3, 2] + pi[:3, 3]
     )
-    tnorm = target / jnp.linalg.norm(target, axis=-1, keepdims=True)
+    from .vec import normalize as _nrm
+    tnorm = _nrm(target)
     direction = tnorm @ vi[:3, :3].T  # w=0 rotate into world
 
     def with_dof(state):
@@ -119,7 +120,7 @@ def get_rays(state, cam: CameraArrays, px, py, si, sj, width, height, sqrt_spp,
         )
         fp_world = focal_point @ vi[:3, :3].T + vi[:3, 3]
         dirn = fp_world - o
-        dirn = dirn / jnp.linalg.norm(dirn, axis=-1, keepdims=True)
+        dirn = _nrm(dirn)
         return state, o, dirn
 
     # `use_dof` is static (aperture > 0 is a host-known scene fact), so the

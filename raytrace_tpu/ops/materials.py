@@ -95,7 +95,8 @@ def calculate_scatter(state, scene, flags, mat_type, mat_index,
     )
     reflected = reflect(world_ray_dir, normal)
     metal_scatters = jnp.sum(reflected * normal, axis=-1) > 0.0
-    refl_unit = reflected / jnp.linalg.norm(reflected, axis=-1, keepdims=True)
+    from . import vec
+    refl_unit = vec.normalize(reflected)
     metal_dir = refl_unit + metal_fuzz * fuzz_unit
 
     # ---- dielectric (ray_gen.glsl:366-399)
@@ -103,7 +104,7 @@ def calculate_scatter(state, scene, flags, mat_type, mat_index,
     di = jnp.clip(mat_index, 0, scene.diel_ri.shape[0] - 1)
     ref_idx = scene.diel_ri[di]
     ri = jnp.where(front_face, 1.0 / ref_idx, ref_idx)
-    unit_dir = world_ray_dir / jnp.linalg.norm(world_ray_dir, axis=-1, keepdims=True)
+    unit_dir = vec.normalize(world_ray_dir)
     cos_theta = jnp.minimum(jnp.sum(-unit_dir * normal, axis=-1), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
     cannot_refract = (ri * sin_theta > 1.0) | (

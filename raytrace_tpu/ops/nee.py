@@ -13,7 +13,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from . import rng
+from . import rng, vec
 from .materials import COSINE_PDF, LIGHT_PDF, NO_PDF, SPHERE_PDF
 
 PI = jnp.float32(jnp.pi)
@@ -46,14 +46,14 @@ def sample_light_sources(state, scene, hit_o2w):
         state, world[:, 0], world[:, 1], world[:, 2]
     )
     nrm = jnp.cross(world[:, 1] - world[:, 0], world[:, 2] - world[:, 0])
-    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = vec.normalize(nrm)
     return state, LightSample(position=position, normal=nrm)
 
 
 def pdf_value(pdf_type, direction, normal, light: LightSample, total_area):
     """getPdfValue (ray_gen.glsl:283-301); default arm returns 0."""
-    dn = jnp.linalg.norm(direction, axis=-1, keepdims=True)
-    unit = direction / jnp.where(dn == 0.0, 1.0, dn)
+    dn = vec.norm(direction)
+    unit = direction * (1.0 / jnp.where(dn == 0.0, 1.0, dn))[..., None]
 
     sphere = 1.0 / (4.0 * PI)
     cosine = jnp.maximum(0.0, jnp.sum(unit * normal, axis=-1) / PI)
@@ -85,7 +85,7 @@ def choose_mixture_pdf(state, mat_pdf_type, has_lights: bool):
 
 def make_onb(n):
     """Orthonormal basis about n (common.glsl:187-197).  n: [R,3] unit."""
-    axis2 = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    axis2 = vec.normalize(n)
     pick_y = jnp.abs(axis2[..., 0]) > 0.9
     a = jnp.where(
         pick_y[:, None],
@@ -93,7 +93,7 @@ def make_onb(n):
         jnp.array([1.0, 0.0, 0.0], jnp.float32),
     )
     axis1 = jnp.cross(axis2, a)
-    axis1 = axis1 / jnp.linalg.norm(axis1, axis=-1, keepdims=True)
+    axis1 = vec.normalize(axis1)
     axis0 = jnp.cross(axis2, axis1)
     return axis0, axis1, axis2
 

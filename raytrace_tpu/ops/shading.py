@@ -24,7 +24,7 @@ from ..models.compile import (
     MAT_TYPE_METAL,
 )
 from ..models.shading_table import MODE_CHECKER, MODE_CONST, MODE_IMAGE, MODE_NOISE
-from . import perlin, rng
+from . import perlin, rng, vec
 from .materials import COSINE_PDF, NO_PDF, ScatterRecord, reflect, refract, schlick_reflectance
 from .textures import sample_image_nearest
 
@@ -129,17 +129,13 @@ def scatter_and_emit(state, scene, flags, rows, hit_p, normal, front_face,
     # metal (ray_gen.glsl:344-364)
     reflected = reflect(world_ray_dir, normal)
     metal_scatters = jnp.sum(reflected * normal, axis=-1) > 0.0
-    refl_unit = reflected / jnp.maximum(
-        jnp.linalg.norm(reflected, axis=-1, keepdims=True), 1e-20
-    )
+    refl_unit = vec.normalize(reflected)
     metal_dir = refl_unit + fuzz * fuzz_unit
 
     # dielectric (ray_gen.glsl:366-399)
     ref_idx = rows[:, 1]
     ri = jnp.where(front_face, 1.0 / jnp.where(ref_idx == 0.0, 1.0, ref_idx), ref_idx)
-    unit_dir = world_ray_dir / jnp.maximum(
-        jnp.linalg.norm(world_ray_dir, axis=-1, keepdims=True), 1e-20
-    )
+    unit_dir = vec.normalize(world_ray_dir)
     cos_theta = jnp.minimum(jnp.sum(-unit_dir * normal, axis=-1), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
     cannot_refract = (ri * sin_theta > 1.0) | (schlick_reflectance(cos_theta, ri) > diel_u)

@@ -217,13 +217,12 @@ def sphere_hit_attributes(o, d, t, sph_id, centers, radii, w2o_all, inst_all):
 
     # Normal transform: n_world = n_obj · W2O_rot (inverse-transpose).
     n_world = jnp.einsum("rj,rji->ri", n_obj, m[:, :, :3])
-    n_world = n_world / jnp.maximum(
-        jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-20
-    )
+    from . import vec
+    n_world = vec.normalize(n_world)
 
     # UV per the tessellator's parameterization (mesh.rs:164-178):
     #   n = (-sin(phi)cos(theta), -cos(phi), sin(phi)sin(theta))
-    nn = n_obj / jnp.maximum(jnp.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-20)
+    nn = vec.normalize(n_obj)
     v = jnp.arccos(jnp.clip(-nn[:, 1], -1.0, 1.0)) / PI
     theta = jnp.arctan2(nn[:, 2], -nn[:, 0])          # in (-pi, pi]
     u = (theta / TWO_PI) % 1.0
