@@ -107,16 +107,26 @@ class MultiChipRenderer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.scene, self.static = upload_scene(compiled)
         self.batch_times = get_batch_ray_times(compiled.render.sample_batches)
+
+        import dataclasses
+
+        on_tpu = jax.default_backend() not in ("cpu",)
+        self.static = dataclasses.replace(
+            self.static, use_pallas_sweep=on_tpu, pallas_interpret=not on_tpu
+        )
+
         self.sphere_tables = None
         if self.static.has_spheres:
-            import dataclasses
-
             from ..ops.spheres import world_sphere_tables
 
             self.sphere_tables = world_sphere_tables(compiled, self.batch_times)
             if self.sphere_tables is not None:
                 self.static = dataclasses.replace(
                     self.static, sphere_world_mode=True
+                )
+            else:
+                self.static = dataclasses.replace(
+                    self.static, use_pallas_sweep=False
                 )
         name = camera_name or compiled.render.camera
         self.camera = cam_ops.build_camera_arrays(
