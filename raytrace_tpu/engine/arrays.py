@@ -42,6 +42,7 @@ class SceneArrays(NamedTuple):
     light_prob: jnp.ndarray
     light_alias: jnp.ndarray
     light_tri_p: jnp.ndarray
+    light_tri_packed: jnp.ndarray  # [L,16] p0 p1 p2 pad (single-row fetch)
     light_count: jnp.ndarray        # i32 scalar
     light_total_area: jnp.ndarray   # f32 scalar
     # textures
@@ -128,6 +129,9 @@ def upload_scene(cs: CompiledScene, bvh=None, sharding=None):
         inst_t0=f32(cs.inst_t0), inst_t1=f32(cs.inst_t1),
         light_prob=f32(cs.light_prob), light_alias=i32(cs.light_alias),
         light_tri_p=f32(cs.light_tri_p),
+        light_tri_packed=f32(np.pad(
+            cs.light_tri_p.reshape(len(cs.light_tri_p), 9), ((0, 0), (0, 7))
+        )),
         light_count=i32(cs.light_count),
         light_total_area=f32(cs.light_total_area),
         const_colours=f32(cs.const_colours),

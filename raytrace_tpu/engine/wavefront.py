@@ -1,23 +1,24 @@
 """The wavefront path-tracing loop.
 
-One sample batch = one jit'd call (`render_batch`):
+One sample batch = one geometry-prepare dispatch plus one jit'd dispatch per
+row tile:
 
-  1. interpolate instance transforms to the batch ray time; re-transform the
-     (non-sphere) triangle soup to world space and gather per-sphere
-     world-to-object matrices (this replaces the reference's TLAS refit,
+  1. `prepare_batch` interpolates instance transforms to the batch ray time
+     and re-transforms geometry (replaces the reference's TLAS refit,
      acceleration.rs:91-115),
-  2. sweep the image in row tiles with `lax.map`; each tile generates its
-     pixel x sample wavefront and bounces it to termination inside a
-     `lax.while_loop` with per-ray alive masks (the iterative rayColour loop
-     of ray_gen.glsl:457-541 across the whole wavefront, no host round-trips
-     per bounce),
-  3. average samples and fold the batch into the running-mean accumulation
+  2. each tile generates its pixel x sample wavefront and bounces it to
+     termination inside `lax.while_loop` with per-ray alive masks and
+     multi-phase tail compaction (the iterative rayColour loop of
+     ray_gen.glsl:457-541 across a whole wavefront, no host round-trips per
+     bounce),
+  3. samples average and the batch folds into the running-mean accumulation
      image ((batch*prev + new)/(batch+1), ray_gen.glsl:597-603).
 
-Geometry is traced through a unified HitRecord produced by the dense
-analytic-sphere sweep (ops/spheres.py), the dense triangle sweep
-(ops/intersect.py) and/or the BVH (ops/bvh.py), whichever the scene's
-static configuration enables.
+LAYOUT RULE: every per-ray vector on the hot path is a V3 — three 1-D [R]
+component arrays (ops/vec3.py).  [R,3] arrays tile-pad their minor dim
+3 -> 128 on TPU, a 42x bandwidth/memory blowup measured straight off the
+XLA allocation dump; 1-D arrays don't pad at all.  [R,3]/[R,k] shapes are
+allowed only at compile-time boundaries and in the CPU-only fallback paths.
 """
 
 from __future__ import annotations
@@ -29,9 +30,11 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import camera as cam_ops
-from ..ops import intersect, materials, nee, rng, spheres, transforms, vec
+from ..ops import intersect, materials, nee, rng, spheres, transforms
+from ..ops import vec3
 from ..ops.intersect import T_MAX, T_MIN
 from ..ops.materials import LIGHT_PDF
+from ..ops.vec3 import V3
 from .arrays import SceneArrays, SceneStatic
 
 
@@ -48,28 +51,28 @@ class RawHit(NamedTuple):
 
 
 class HitRecord(NamedTuple):
-    """Unified closest-hit result for a wavefront (ray_gen.glsl HitRecord +
-    material/instance ids resolved, common.glsl:98-102)."""
+    """Unified closest-hit result (ray_gen.glsl HitRecord + material/
+    instance ids resolved, common.glsl:98-102).  p/n are V3."""
 
-    missed: jnp.ndarray     # [R] bool
-    t: jnp.ndarray          # [R]
-    p: jnp.ndarray          # [R,3] world hit position
-    n: jnp.ndarray          # [R,3] unit outward (data-side) normal
-    u: jnp.ndarray          # [R]
-    v: jnp.ndarray          # [R]
-    mat_type: jnp.ndarray   # [R]
-    mat_index: jnp.ndarray  # [R]
-    inst: jnp.ndarray       # [R] instance id of the hit primitive
-    prim: jnp.ndarray       # [R] unified primitive id (sphere i | S_pad + tri j)
+    missed: jnp.ndarray
+    t: jnp.ndarray
+    p: V3
+    n: V3
+    u: jnp.ndarray
+    v: jnp.ndarray
+    mat_type: jnp.ndarray
+    mat_index: jnp.ndarray
+    inst: jnp.ndarray
+    prim: jnp.ndarray
 
 
 class BounceState(NamedTuple):
     depth: jnp.ndarray
     state: jnp.ndarray
-    ray_o: jnp.ndarray
-    ray_d: jnp.ndarray
-    throughput: jnp.ndarray
-    accumulated: jnp.ndarray
+    ray_o: V3
+    ray_d: V3
+    throughput: V3
+    accumulated: V3
     alive: jnp.ndarray
     rays_traced: jnp.ndarray
 
@@ -94,8 +97,9 @@ def _compact_schedule(R: int):
     return sizes
 
 
-def _background(static: SceneStatic, scene: SceneArrays, n: int):
-    """Sky colour (quirk: direction-independent, ray_gen.glsl:442-455)."""
+def _background_v3(static: SceneStatic, scene: SceneArrays) -> V3:
+    """Sky colour as scalar V3 (quirk: direction-independent,
+    ray_gen.glsl:442-455)."""
     from ..models.compile import SKY_SOLID, SKY_VERTICAL_GRADIENT
 
     if static.sky_type == SKY_SOLID:
@@ -105,24 +109,24 @@ def _background(static: SceneStatic, scene: SceneArrays, n: int):
         col = scene.sky_top * (1.0 - f) + scene.sky_bottom * f
     else:
         col = jnp.zeros(3, jnp.float32)
-    return jnp.broadcast_to(col, (n, 3))
+    return V3(col[0], col[1], col[2])
 
 
 def make_trace_fn(static: SceneStatic, scene: SceneArrays,
                   geom: "BatchGeometry"):
     """Build the unified closest-hit tracer for this batch.
 
-    Returns trace(o, d, alive) -> HitRecord.  Each enabled geometry family
-    is swept and the nearest hit wins; disabled families cost nothing
+    Returns trace(o: V3, d: V3, alive) -> RawHit.  Each enabled geometry
+    family is swept and the nearest hit wins; disabled families cost nothing
     (static specialization).
     """
     use_tris = static.has_tris
     use_spheres = static.has_spheres
-    world_p, world_n = geom.world_p, geom.world_n
+    world_p = geom.world_p
     s_pad = scene.sph_center.shape[0]
 
-    def trace(o, d, alive) -> RawHit:
-        R = o.shape[0]
+    def trace(o: V3, d: V3, alive) -> RawHit:
+        R = o.x.shape[0]
         t_best = jnp.full((R,), T_MAX, jnp.float32)
 
         tri_hit = None
@@ -134,7 +138,8 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
                 tri_hit = traverse_sah(
                     BVHArrays(scene.bvh_child_boxes, v0, e1, e2),
                     static.bvh_root, static.bvh_leaf_size,
-                    static.bvh_stack_depth, o, d, active=alive,
+                    static.bvh_stack_depth,
+                    vec3.to_rows(o), vec3.to_rows(d), active=alive,
                 )
             elif static.bvh_mode == "implicit":
                 from ..ops.bvh import BVHArrays, pack_world_tris, traverse
@@ -143,18 +148,19 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
                 tri_hit = traverse(
                     BVHArrays(scene.bvh_child_boxes, v0, e1, e2),
                     static.bvh_num_leaves, static.bvh_leaf_size,
-                    static.bvh_stack_depth, o, d, active=alive,
+                    static.bvh_stack_depth,
+                    vec3.to_rows(o), vec3.to_rows(d), active=alive,
                 )
             elif static.use_pallas_sweep:
-                from ..ops.pallas_tri_sweep import intersect_tris_pallas
+                from ..ops.pallas_tri_sweep import intersect_tris_pallas_v3
 
-                tri_hit = intersect_tris_pallas(
+                tri_hit = intersect_tris_pallas_v3(
                     o, d, geom.tri_table16, active=alive,
                     interpret=static.pallas_interpret,
                 )
             else:
                 tri_hit = intersect.intersect_brute_force(
-                    o, d, world_p, active=alive,
+                    vec3.to_rows(o), vec3.to_rows(d), world_p, active=alive,
                     chunk=min(512, world_p.shape[0]),
                 )
             t_best = tri_hit.t
@@ -162,20 +168,21 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
         sph_hit = None
         if use_spheres:
             if static.sphere_world_mode and static.use_pallas_sweep:
-                from ..ops.pallas_sweep import intersect_spheres_pallas
+                from ..ops.pallas_sweep import intersect_spheres_pallas_v3
 
-                sph_hit = intersect_spheres_pallas(
+                sph_hit = intersect_spheres_pallas_v3(
                     o, d, geom.sph_table8, active=alive,
                     interpret=static.pallas_interpret,
                 )
             elif static.sphere_world_mode:
                 sph_hit = spheres.intersect_spheres_world(
-                    o, d, geom.sph_table, active=alive,
-                    chunk=min(128, s_pad),
+                    vec3.to_rows(o), vec3.to_rows(d), geom.sph_table,
+                    active=alive, chunk=min(128, s_pad),
                 )
             else:
                 sph_hit = spheres.intersect_spheres(
-                    o, d, scene.sph_center, scene.sph_radius, geom.sph_w2o,
+                    vec3.to_rows(o), vec3.to_rows(d),
+                    scene.sph_center, scene.sph_radius, geom.sph_w2o,
                     active=alive, chunk=min(128, s_pad),
                 )
             t_best = jnp.minimum(t_best, sph_hit.t)
@@ -210,59 +217,81 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
 
 
 def reconstruct_hit(static: SceneStatic, scene: SceneArrays,
-                    geom: "BatchGeometry", raw: RawHit, ray_o, ray_d,
+                    geom: "BatchGeometry", raw: RawHit, ray_o: V3, ray_d: V3,
                     rows=None) -> HitRecord:
-    """RawHit → full HitRecord.
+    """RawHit → full HitRecord (all vectors V3).
 
-    With combined rows (fat path) the per-hit data — material, w2o,
-    object-space sphere center/radius — all come from the single row fetch;
-    only triangle scenes add three soup gathers for barycentric attributes.
+    Fat path: sphere data (w2o, center, radius) comes from the combined row
+    fetch; triangle attributes come from two packed [T,16]-row gathers
+    (positions from the trace table, normals/uvs from tri_attr16).  The
+    mesh/BVH path keeps [R,3,3] soup gathers (secondary, CPU-tested).
     """
     R = raw.prim.shape[0]
     s_pad = scene.sph_center.shape[0]
 
     if static.has_tris:
         tri = jnp.maximum(raw.prim - s_pad, 0)
-        w = 1.0 - raw.bu - raw.bv
-        bary = jnp.stack([w, raw.bu, raw.bv], axis=-1)
-        tp = geom.world_p[tri]
-        tn = geom.world_n[tri]
-        tuv = scene.tri_uv[tri]
-        tri_p_hit = jnp.einsum("rv,rvi->ri", bary, tp)
-        tri_n_hit = jnp.einsum("rv,rvi->ri", bary, tn)
-        tri_uv_hit = jnp.einsum("rv,rvi->ri", bary, tuv)
+        packed = static.use_pallas_sweep and static.bvh_mode == "none"
+        if packed:
+            pos = geom.tri_table16[jnp.clip(tri, 0, geom.tri_table16.shape[0] - 1)]
+            att = geom.tri_attr16[jnp.clip(tri, 0, geom.tri_attr16.shape[0] - 1)]
+            bu, bv = raw.bu, raw.bv
+            tp = V3(
+                pos[:, 0] + bu * pos[:, 3] + bv * pos[:, 6],
+                pos[:, 1] + bu * pos[:, 4] + bv * pos[:, 7],
+                pos[:, 2] + bu * pos[:, 5] + bv * pos[:, 8],
+            )
+            tn = V3(
+                att[:, 0] + bu * att[:, 3] + bv * att[:, 6],
+                att[:, 1] + bu * att[:, 4] + bv * att[:, 7],
+                att[:, 2] + bu * att[:, 5] + bv * att[:, 8],
+            )
+            tu = att[:, 9] + bu * att[:, 11] + bv * att[:, 13]
+            tv = att[:, 10] + bu * att[:, 12] + bv * att[:, 14]
+        else:
+            w = 1.0 - raw.bu - raw.bv
+            bary = jnp.stack([w, raw.bu, raw.bv], axis=-1)
+            tp_r = jnp.einsum("rv,rvi->ri", bary, geom.world_p[tri])
+            tn_r = jnp.einsum("rv,rvi->ri", bary, geom.world_n[tri])
+            tuv = jnp.einsum("rv,rvi->ri", bary, scene.tri_uv[tri])
+            tp = vec3.from_rows(tp_r)
+            tn = vec3.from_rows(tn_r)
+            tu, tv = tuv[:, 0], tuv[:, 1]
 
     if static.has_spheres:
         if rows is not None:
-            w2o = rows[:, 32:44].reshape(R, 3, 4)
-            c = rows[:, 44:47]
+            m_cols = tuple(rows[:, 32 + i] for i in range(12))
+            c = V3(rows[:, 44], rows[:, 45], rows[:, 46])
             r = rows[:, 47]
         else:
             sid = jnp.minimum(raw.prim, s_pad - 1)
             w2o = geom.sph_w2o[sid]
-            c = scene.sph_center[sid]
+            m_cols = tuple(w2o.reshape(R, 12)[:, i] for i in range(12))
+            c = vec3.from_rows(scene.sph_center[sid])
             r = scene.sph_radius[sid]
-        sp = ray_o + raw.t[:, None] * ray_d
-        p_obj = jnp.einsum("rij,rj->ri", w2o[:, :, :3], sp) + w2o[:, :, 3]
-        n_obj = (p_obj - c) / jnp.where(r == 0.0, 1.0, r)[:, None]
-        sn = jnp.einsum("rj,rji->ri", n_obj, w2o[:, :, :3])
-        nn = vec.normalize(n_obj)
-        sv = jnp.arccos(jnp.clip(-nn[:, 1], -1.0, 1.0)) / spheres.PI
-        su = (jnp.arctan2(nn[:, 2], -nn[:, 0]) / spheres.TWO_PI) % 1.0
+        sp = ray_o + raw.t * ray_d
+        p_obj = vec3.mat34_apply_point(m_cols, sp)
+        inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
+        n_obj = V3((p_obj.x - c.x) * inv_r, (p_obj.y - c.y) * inv_r,
+                   (p_obj.z - c.z) * inv_r)
+        sn = vec3.mat34_apply_transposed_vec(m_cols, n_obj)
+        nn = vec3.normalize(n_obj)
+        # UV per the tessellator's parameterization (mesh.rs:164-178).
+        sv = jnp.arccos(jnp.clip(-nn.y, -1.0, 1.0)) / spheres.PI
+        su = (jnp.arctan2(nn.z, -nn.x) / spheres.TWO_PI) % 1.0
 
     if static.has_tris and static.has_spheres:
         sw = raw.is_sphere
-        n = jnp.where(sw[:, None], sn, tri_n_hit)
-        p = jnp.where(sw[:, None], sp, tri_p_hit)
-        u = jnp.where(sw, su, tri_uv_hit[:, 0])
-        v = jnp.where(sw, sv, tri_uv_hit[:, 1])
+        p = vec3.where(sw, sp, tp)
+        n = vec3.where(sw, sn, tn)
+        u = jnp.where(sw, su, tu)
+        v = jnp.where(sw, sv, tv)
     elif static.has_spheres:
-        n, p, u, v = sn, sp, su, sv
+        p, n, u, v = sp, sn, su, sv
     else:
-        n, p = tri_n_hit, tri_p_hit
-        u, v = tri_uv_hit[:, 0], tri_uv_hit[:, 1]
+        p, n, u, v = tp, tn, tu, tv
 
-    n = vec.normalize(n)
+    n = vec3.normalize(n)
 
     if rows is not None:
         mat_type = rows[:, 0].astype(jnp.int32)
@@ -291,32 +320,62 @@ def reconstruct_hit(static: SceneStatic, scene: SceneArrays,
     )
 
 
+def _registry_scatter(s_state, scene, static, rec: HitRecord, normal: V3,
+                      front, ray_d: V3, alive):
+    """CPU-tested fallback for material graphs that exceed the fat-row
+    encoding: converts to [R,3] at the boundary and back."""
+    mat_type = jnp.where(alive, rec.mat_type, 0)
+    p_rows = vec3.to_rows(rec.p)
+    n_rows = vec3.to_rows(normal)
+    d_rows = vec3.to_rows(ray_d)
+    emit = materials.calculate_emission(
+        scene, static.flags, mat_type, rec.mat_index, p_rows, front,
+        rec.u, rec.v,
+    )
+    rstate, srec = materials.calculate_scatter(
+        s_state, scene, static.flags, mat_type, rec.mat_index,
+        p_rows, n_rows, front, rec.u, rec.v, d_rows,
+    )
+    from ..ops.shading import ScatterV3
+
+    srec_v3 = ScatterV3(
+        is_scattered=srec.is_scattered,
+        attenuation=vec3.from_rows(srec.attenuation),
+        mat_pdf_type=srec.mat_pdf_type,
+        skip_pdf=srec.skip_pdf,
+        skip_dir=vec3.from_rows(srec.skip_dir),
+    )
+    return rstate, srec_v3, vec3.from_rows(emit)
+
+
 def bounce_wavefront(
     static: SceneStatic,
     scene: SceneArrays,
     trace_fn: Callable,
     geom: "BatchGeometry",
     state: jnp.ndarray,
-    ray_o: jnp.ndarray,
-    ray_d: jnp.ndarray,
+    ray_o: V3,
+    ray_d: V3,
     max_depth=None,
 ):
-    """Run the full bounce loop for a wavefront; returns (radiance [R,3],
+    """Run the full bounce loop for a wavefront; returns (radiance V3 of [R],
     rng state, rays_traced scalar) — the rayColour loop (ray_gen.glsl:457-541).
 
     max_depth may be a traced scalar (it only bounds the while loop, not any
     shape), so depth changes never trigger recompilation."""
-    R = ray_o.shape[0]
+    R = ray_o.x.shape[0]
     if max_depth is None:
         max_depth = static.max_ray_depth
 
+    ones = jnp.ones((R,), jnp.float32)
+    zeros = jnp.zeros((R,), jnp.float32)
     init = BounceState(
         depth=jnp.int32(max_depth),
         state=state,
         ray_o=ray_o,
         ray_d=ray_d,
-        throughput=jnp.ones((R, 3), jnp.float32),
-        accumulated=jnp.zeros((R, 3), jnp.float32),
+        throughput=V3(ones, ones, ones),
+        accumulated=V3(zeros, zeros, zeros),
         alive=jnp.ones((R,), bool),
         rays_traced=jnp.float32(0.0),
     )
@@ -325,15 +384,15 @@ def bounce_wavefront(
         return (s.depth > 0) & jnp.any(s.alive)
 
     inst_mats = geom.inst_mats
+    bg = _background_v3(static, scene)
 
     def body(s: BounceState) -> BounceState:
         raw = trace_fn(s.ray_o, s.ray_d, s.alive)
         rays_traced = s.rays_traced + jnp.sum(s.alive.astype(jnp.float32))
 
         missed = s.alive & raw.missed
-        bg = _background(static, scene, s.alive.shape[0])
-        accumulated = s.accumulated + jnp.where(
-            missed[:, None], s.throughput * bg, 0.0
+        accumulated = vec3.where(
+            missed, s.accumulated + s.throughput * bg, s.accumulated
         )
         alive = s.alive & ~raw.missed
 
@@ -348,45 +407,45 @@ def bounce_wavefront(
         rec = reconstruct_hit(static, scene, geom, raw, s.ray_o, s.ray_d,
                               rows=rows)
 
-        front = jnp.sum(s.ray_d * rec.n, axis=-1) < 0.0   # common.glsl:239-241
-        normal = jnp.where(front[:, None], rec.n, -rec.n)
+        front = vec3.dot(s.ray_d, rec.n) < 0.0   # common.glsl:239-241
+        normal = vec3.where(front, rec.n, -rec.n)
 
         # --- emission + scatter (ray_gen.glsl:499-506)
         if static.use_fat_shading:
             from ..ops import shading
 
-            rstate, srec, emit = shading.scatter_and_emit(
+            rstate, srec, emit = shading.scatter_and_emit_v3(
                 s.state, scene, static.flags, rows,
                 rec.p, normal, front, rec.u, rec.v, s.ray_d,
             )
         else:
-            mat_type = jnp.where(alive, rec.mat_type, 0)
-            mat_index = rec.mat_index
-            emit = materials.calculate_emission(
-                scene, static.flags, mat_type, mat_index, rec.p, front,
-                rec.u, rec.v,
+            rstate, srec, emit = _registry_scatter(
+                s.state, scene, static, rec, normal, front, s.ray_d, alive
             )
-            rstate, srec = materials.calculate_scatter(
-                s.state, scene, static.flags, mat_type, mat_index,
-                rec.p, normal, front, rec.u, rec.v, s.ray_d,
-            )
-        accumulated = accumulated + jnp.where(alive[:, None], s.throughput * emit, 0.0)
+        accumulated = vec3.where(
+            alive, accumulated + s.throughput * emit, accumulated
+        )
         alive = alive & srec.is_scattered
 
         if static.has_lights:
             # --- NEE / MIS path (ray_gen.glsl:516-537)
-            hit_o2w = inst_mats.object_to_world[rec.inst]
-            rstate, light = nee.sample_light_sources(rstate, scene, hit_o2w)
+            if rows is not None:
+                o2w_rows = geom.inst_o2w_rows[rec.inst]     # [R,12]
+                o2w_cols = tuple(o2w_rows[:, i] for i in range(12))
+            else:
+                o2w = inst_mats.object_to_world[rec.inst]
+                o2w_cols = tuple(o2w.reshape(R, 12)[:, i] for i in range(12))
+            rstate, light = nee.sample_light_sources_v3(rstate, scene, o2w_cols)
             rstate, chosen = nee.choose_mixture_pdf(
                 rstate, srec.mat_pdf_type, static.has_lights
             )
-            rstate, sdir = nee.gen_scatter_direction(
+            rstate, sdir = nee.gen_scatter_direction_v3(
                 rstate, chosen, rec.p, normal, light
             )
-            scatter_pdf = nee.pdf_value(
+            scatter_pdf = nee.pdf_value_v3(
                 srec.mat_pdf_type, sdir, normal, light, scene.light_total_area
             )
-            light_pdf = nee.pdf_value(
+            light_pdf = nee.pdf_value_v3(
                 jnp.full_like(chosen, LIGHT_PDF), sdir, normal, light,
                 scene.light_total_area,
             )
@@ -396,35 +455,35 @@ def bounce_wavefront(
                 scatter_pdf / jnp.where(pdf_value == 0.0, 1.0, pdf_value),
                 0.0,
             )
-            mis_throughput = s.throughput * srec.attenuation * ratio[:, None]
-            mis_dir = vec.normalize(sdir)
+            mis_throughput = s.throughput * srec.attenuation * ratio
+            mis_dir = vec3.normalize(sdir)
         else:
             # No lights: pdfValue == scatteringPdf and the ratio cancels to 1
             # except where the cosine pdf is exactly 0 (the reference's 0/0;
             # guarded to 0 here).
             rstate, chosen = nee.choose_mixture_pdf(rstate, srec.mat_pdf_type, False)
-            dummy_light = nee.LightSample(
-                position=jnp.zeros_like(rec.p), normal=jnp.zeros_like(rec.p)
+            dummy_light = nee.LightSampleV3(
+                position=vec3.zeros_like(rec.p), normal=vec3.zeros_like(rec.p)
             )
-            rstate, sdir = nee.gen_scatter_direction(
+            rstate, sdir = nee.gen_scatter_direction_v3(
                 rstate, chosen, rec.p, normal, dummy_light
             )
-            scatter_pdf = nee.pdf_value(
+            scatter_pdf = nee.pdf_value_v3(
                 srec.mat_pdf_type, sdir, normal, dummy_light, jnp.float32(1.0)
             )
             ratio = jnp.where(scatter_pdf > 0.0, 1.0, 0.0)
-            mis_throughput = s.throughput * srec.attenuation * ratio[:, None]
-            mis_dir = vec.normalize(sdir)
+            mis_throughput = s.throughput * srec.attenuation * ratio
+            mis_dir = vec3.normalize(sdir)
 
         use_skip = srec.skip_pdf
-        new_throughput = jnp.where(
-            use_skip[:, None], s.throughput * srec.attenuation, mis_throughput
+        new_throughput = vec3.where(
+            use_skip, s.throughput * srec.attenuation, mis_throughput
         )
-        new_dir = jnp.where(use_skip[:, None], srec.skip_dir, mis_dir)
+        new_dir = vec3.where(use_skip, srec.skip_dir, mis_dir)
 
-        ray_o = jnp.where(alive[:, None], rec.p, s.ray_o)
-        ray_d = jnp.where(alive[:, None], new_dir, s.ray_d)
-        throughput = jnp.where(alive[:, None], new_throughput, s.throughput)
+        ray_o = vec3.where(alive, rec.p, s.ray_o)
+        ray_d = vec3.where(alive, new_dir, s.ray_d)
+        throughput = vec3.where(alive, new_throughput, s.throughput)
 
         return BounceState(
             depth=s.depth - 1,
@@ -449,10 +508,12 @@ def bounce_wavefront(
         final = jax.lax.while_loop(cond, body, init)
         return final.accumulated, final.state, final.rays_traced
 
-    accumulated_total = jnp.zeros((R, 3), jnp.float32)
+    acc_x = jnp.zeros((R,), jnp.float32)
+    acc_y = jnp.zeros((R,), jnp.float32)
+    acc_z = jnp.zeros((R,), jnp.float32)
     state_out = init.state
     rays_total = jnp.float32(0.0)
-    sel_chain = jnp.arange(R)  # composed selection back to original indices
+    sel_chain = jnp.arange(R)
     s_cur = init
 
     for next_size in sizes + [0]:
@@ -464,7 +525,9 @@ def bounce_wavefront(
         s_cur = jax.lax.while_loop(cond_phase, body, s_cur)
 
         idx = sel_chain
-        accumulated_total = accumulated_total.at[idx].add(s_cur.accumulated)
+        acc_x = acc_x.at[idx].add(s_cur.accumulated.x)
+        acc_y = acc_y.at[idx].add(s_cur.accumulated.y)
+        acc_z = acc_z.at[idx].add(s_cur.accumulated.z)
         state_out = state_out.at[idx].set(s_cur.state)
         rays_total = rays_total + s_cur.rays_traced
 
@@ -473,18 +536,20 @@ def bounce_wavefront(
 
         sel = jnp.argsort(~s_cur.alive)[:next_size]
         sel_chain = idx[sel]
+        take3 = lambda v: V3(v.x[sel], v.y[sel], v.z[sel])
+        nz = jnp.zeros((next_size,), jnp.float32)
         s_cur = BounceState(
             depth=s_cur.depth,
             state=s_cur.state[sel],
-            ray_o=s_cur.ray_o[sel],
-            ray_d=s_cur.ray_d[sel],
-            throughput=s_cur.throughput[sel],
-            accumulated=jnp.zeros((next_size, 3), jnp.float32),
+            ray_o=take3(s_cur.ray_o),
+            ray_d=take3(s_cur.ray_d),
+            throughput=take3(s_cur.throughput),
+            accumulated=V3(nz, nz, nz),
             alive=s_cur.alive[sel],
             rays_traced=jnp.float32(0.0),
         )
 
-    return accumulated_total, state_out, rays_total
+    return V3(acc_x, acc_y, acc_z), state_out, rays_total
 
 
 def render_tile(
@@ -528,7 +593,7 @@ def render_tile(
 
     state = rng.init_rng(sample_batch, s, py, px, static.width, static.height, spp)
 
-    state, ray_o, ray_d = cam_ops.get_rays(
+    state, ray_o, ray_d = cam_ops.get_rays_v3(
         state, cam, px.astype(jnp.int32), py.astype(jnp.int32), si, sj,
         static.width, static.height, sqrt_spp, use_dof=use_dof,
     )
@@ -538,7 +603,7 @@ def render_tile(
         max_depth=max_depth,
     )
 
-    tile = radiance.reshape(rows_per_tile, W, spp_local, 3)
+    tile = vec3.to_rows(radiance).reshape(rows_per_tile, W, spp_local, 3)
     tile = tile.mean(axis=2) if reduce_mean else tile.sum(axis=2)
     return tile, rays_traced
 
@@ -547,14 +612,15 @@ class BatchGeometry(NamedTuple):
     """Per-batch world-space geometry (the refit product)."""
 
     inst_mats: transforms.InstanceMatrices
-    world_p: jnp.ndarray   # [T,3,3] (dummy [1,3,3] when no triangles)
+    world_p: jnp.ndarray    # [T,3,3] (dummy [1,3,3] when no triangles)
     world_n: jnp.ndarray
-    sph_w2o: jnp.ndarray   # [S,3,4] world-to-object per sphere
-    sph_table: jnp.ndarray # [S,5] world c/r/k (host-precomputed per batch)
+    sph_w2o: jnp.ndarray    # [S,3,4] world-to-object per sphere
+    sph_table: jnp.ndarray  # [S,5] world c/r/k (host-precomputed per batch)
     sph_table8: jnp.ndarray # [S8,8] kernel-layout table for the Pallas sweep
-    tri_table16: jnp.ndarray # [T8,16] kernel-layout triangles (Pallas sweep)
-    prim_rows: jnp.ndarray # [P,64] combined per-primitive rows (fat path;
-                           # [1,64] dummy otherwise)
+    tri_table16: jnp.ndarray # [T8,16] v0/e1/e2 triangles (Pallas sweep + attrs)
+    tri_attr16: jnp.ndarray  # [T8,16] n0/dn1/dn2/uv0/duv1/duv2 (hit attrs)
+    prim_rows: jnp.ndarray  # [P,64] combined per-primitive rows (fat path)
+    inst_o2w_rows: jnp.ndarray  # [I,12] objectToWorld rows (NEE fetch)
 
 
 def prepare_batch(static: SceneStatic, scene: SceneArrays,
@@ -588,12 +654,31 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
         sph_table8 = pad_table8(jnp.asarray(sph_table))
     else:
         sph_table8 = jnp.zeros((8, 8), jnp.float32)
+
     if static.use_pallas_sweep and static.has_tris and static.bvh_mode == "none":
         from ..ops.pallas_tri_sweep import pack_tri_table
 
         tri_table16 = pack_tri_table(world_p, static.num_triangles)
+        # Attribute table: n0, n1-n0, n2-n0, uv0, uv1-uv0, uv2-uv0, pad.
+        T = world_n.shape[0]
+        T8 = tri_table16.shape[0]
+        n0 = world_n[:, 0, :]
+        dn1 = world_n[:, 1, :] - n0
+        dn2 = world_n[:, 2, :] - n0
+        uv0 = scene.tri_uv[:, 0, :]
+        duv1 = scene.tri_uv[:, 1, :] - uv0
+        duv2 = scene.tri_uv[:, 2, :] - uv0
+        att = jnp.zeros((T8, 16), jnp.float32)
+        att = att.at[:T, 0:3].set(n0)
+        att = att.at[:T, 3:6].set(dn1)
+        att = att.at[:T, 6:9].set(dn2)
+        att = att.at[:T, 9:11].set(uv0)
+        att = att.at[:T, 11:13].set(duv1)
+        att = att.at[:T, 13:15].set(duv2)
+        tri_attr16 = att
     else:
         tri_table16 = jnp.zeros((8, 16), jnp.float32)
+        tri_attr16 = jnp.zeros((8, 16), jnp.float32)
 
     # Combined per-primitive rows: ONE fetch per bounce serves shading,
     # sphere attributes, and NEE's instance transform.
@@ -613,10 +698,14 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
     else:
         prim_rows = jnp.zeros((1, 64), jnp.float32)
 
+    I = scene.inst_t0.shape[0]
+    inst_o2w_rows = inst_mats.object_to_world.reshape(I, 12)
+
     return BatchGeometry(inst_mats=inst_mats, world_p=world_p, world_n=world_n,
                          sph_w2o=sph_w2o, sph_table=jnp.asarray(sph_table),
                          sph_table8=sph_table8, tri_table16=tri_table16,
-                         prim_rows=prim_rows)
+                         tri_attr16=tri_attr16, prim_rows=prim_rows,
+                         inst_o2w_rows=inst_o2w_rows)
 
 
 def render_tile_step(

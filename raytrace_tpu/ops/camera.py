@@ -129,3 +129,56 @@ def get_rays(state, cam: CameraArrays, px, py, si, sj, width, height, sqrt_spp,
         state, origin, direction = with_dof(state)
 
     return state, origin, direction
+
+
+def get_rays_v3(state, cam: CameraArrays, px, py, si, sj, width, height,
+                sqrt_spp, use_dof: bool = False):
+    """Component-wise raygen (same math as get_rays, zero [R,2]/[R,3]
+    intermediates — see ops/vec3.py for why)."""
+    from .vec3 import V3, normalize as v3_normalize
+
+    recip_sqrt_spp = jnp.float32(1.0 / sqrt_spp)
+    state, rx = rng.random_float(state)
+    state, ry = rng.random_float(state)
+    ox_pix = (si.astype(jnp.float32) + rx) * recip_sqrt_spp - 0.5
+    oy_pix = (sj.astype(jnp.float32) + ry) * recip_sqrt_spp - 0.5
+
+    dx = ((px.astype(jnp.float32) + 0.5 + ox_pix) / width) * 2.0 - 1.0
+    dy = ((py.astype(jnp.float32) + 0.5 + oy_pix) / height) * 2.0 - 1.0
+
+    vi = cam.view_inverse
+    pi = cam.proj_inverse
+
+    target = V3(
+        pi[0, 0] * dx + pi[0, 1] * dy + pi[0, 2] + pi[0, 3],
+        pi[1, 0] * dx + pi[1, 1] * dy + pi[1, 2] + pi[1, 3],
+        pi[2, 0] * dx + pi[2, 1] * dy + pi[2, 2] + pi[2, 3],
+    )
+    tn = v3_normalize(target)
+    direction = V3(
+        vi[0, 0] * tn.x + vi[0, 1] * tn.y + vi[0, 2] * tn.z,
+        vi[1, 0] * tn.x + vi[1, 1] * tn.y + vi[1, 2] * tn.z,
+        vi[2, 0] * tn.x + vi[2, 1] * tn.y + vi[2, 2] * tn.z,
+    )
+    ones = jnp.ones_like(dx)
+    origin = V3(vi[0, 3] * ones, vi[1, 3] * ones, vi[2, 3] * ones)
+
+    if use_dof:
+        state, lx, ly = rng.sample_disk_concentric_xy(state)
+        half_ap = cam.aperture_size / 2.0
+        # QUIRK (ray_gen.glsl:554-558): world x/y offset scaled by NDC d.
+        origin = V3(
+            origin.x + lx * half_ap * dx,
+            origin.y + ly * half_ap * dy,
+            origin.z,
+        )
+        fp = V3(cam.focal_length * tn.x, cam.focal_length * tn.y,
+                cam.focal_length * tn.z)
+        fpw = V3(
+            vi[0, 0] * fp.x + vi[0, 1] * fp.y + vi[0, 2] * fp.z + vi[0, 3],
+            vi[1, 0] * fp.x + vi[1, 1] * fp.y + vi[1, 2] * fp.z + vi[1, 3],
+            vi[2, 0] * fp.x + vi[2, 1] * fp.y + vi[2, 2] * fp.z + vi[2, 3],
+        )
+        direction = v3_normalize(fpw - origin)
+
+    return state, origin, direction

@@ -151,3 +151,27 @@ def intersect_spheres_pallas(o, d, table8, active=None, interpret=False):
         t = jnp.where(active, t, T_MAX)
         ids = jnp.where(active, ids, -1)
     return SphereHit(t=t, sph=ids)
+
+
+def intersect_spheres_pallas_v3(o, d, table8, active=None, interpret=False):
+    """V3 (component) entry: builds the [3, R] kernel inputs by stacking
+    1-D components — no [R,3] transpose relayout."""
+    import jax.numpy as _jnp
+
+    from .spheres import SphereHit
+    from .vec3 import to_3r
+
+    R = o.x.shape[0]
+    R_pad = max(BLOCK, -(-R // BLOCK) * BLOCK)
+    o3 = to_3r(o)
+    d3 = to_3r(d)
+    if R_pad != R:
+        o3 = _jnp.pad(o3, ((0, 0), (0, R_pad - R)))
+        d3 = _jnp.pad(d3, ((0, 0), (0, R_pad - R)), constant_values=1.0)
+    t, ids = sphere_sweep_pallas(table8, o3, d3, interpret=interpret)
+    t = t[:R]
+    ids = ids[:R]
+    if active is not None:
+        t = _jnp.where(active, t, T_MAX)
+        ids = _jnp.where(active, ids, -1)
+    return SphereHit(t=t, sph=ids)

@@ -149,3 +149,22 @@ def intersect_tris_pallas(o, d, table16, active=None, interpret=False) -> Hit:
         t = jnp.where(active, t, T_MAX)
         ids = jnp.where(active, ids, -1)
     return Hit(t=t, tri=ids, u=u, v=v)
+
+
+def intersect_tris_pallas_v3(o, d, table16, active=None, interpret=False) -> Hit:
+    """V3 (component) entry — no [R,3] transpose relayout."""
+    from .vec3 import to_3r
+
+    R = o.x.shape[0]
+    R_pad = max(BLOCK, -(-R // BLOCK) * BLOCK)
+    o3 = to_3r(o)
+    d3 = to_3r(d)
+    if R_pad != R:
+        o3 = jnp.pad(o3, ((0, 0), (0, R_pad - R)))
+        d3 = jnp.pad(d3, ((0, 0), (0, R_pad - R)), constant_values=1.0)
+    t, ids, u, v = tri_sweep_pallas(table16, o3, d3, interpret=interpret)
+    t, ids, u, v = t[:R], ids[:R], u[:R], v[:R]
+    if active is not None:
+        t = jnp.where(active, t, T_MAX)
+        ids = jnp.where(active, ids, -1)
+    return Hit(t=t, tri=ids, u=u, v=v)

@@ -128,3 +128,69 @@ def sample_triangle_uniform(state, p0, p1, p2):
     rx = jnp.where(flip, 1.0 - rx, rx)
     ry = jnp.where(flip, 1.0 - ry, ry)
     return state, p0 + rx[..., None] * (p1 - p0) + ry[..., None] * (p2 - p0)
+
+
+# ---------------------------------------------------------------------------
+# V3 (component-wise) sampler variants for the padding-free hot path.
+
+def random_unit_v3(state):
+    """Uniform direction on the unit sphere as V3 of [R] components."""
+    from .vec3 import V3
+
+    state, u1 = random_float(state)
+    state, u2 = random_float(state)
+    z = 1.0 - 2.0 * u1
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = TWO_PI * u2
+    return state, V3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+
+
+def random_cosine_v3(state):
+    """Cosine-weighted hemisphere about +z (common.glsl:336-346)."""
+    from .vec3 import V3
+
+    state, r1 = random_float(state)
+    state, r2 = random_float(state)
+    phi = TWO_PI * r1
+    sq = jnp.sqrt(r2)
+    return state, V3(
+        jnp.cos(phi) * sq, jnp.sin(phi) * sq,
+        jnp.sqrt(jnp.maximum(0.0, 1.0 - r2)),
+    )
+
+
+def sample_triangle_uniform_v3(state, p0, p1, p2):
+    """Uniform point on a triangle, V3 in / V3 out (common.glsl:383-394)."""
+    from .vec3 import V3
+
+    state, rx = random_float(state)
+    state, ry = random_float(state)
+    flip = rx + ry > 1.0
+    rx = jnp.where(flip, 1.0 - rx, rx)
+    ry = jnp.where(flip, 1.0 - ry, ry)
+    return state, V3(
+        p0.x + rx * (p1.x - p0.x) + ry * (p2.x - p0.x),
+        p0.y + rx * (p1.y - p0.y) + ry * (p2.y - p0.y),
+        p0.z + rx * (p1.z - p0.z) + ry * (p2.z - p0.z),
+    )
+
+
+def sample_disk_concentric_xy(state):
+    """Concentric disk sample as two [R] components (no [R,2] temp)."""
+    state, u1 = random_float(state)
+    state, u2 = random_float(state)
+    ux = 2.0 * u1 - 1.0
+    uy = 2.0 * u2 - 1.0
+    degenerate = (ux == 0.0) & (uy == 0.0)
+    x_major = jnp.abs(ux) > jnp.abs(uy)
+    r = jnp.where(x_major, ux, uy)
+    safe = lambda num, den: num / jnp.where(den == 0.0, 1.0, den)
+    theta = jnp.where(
+        x_major,
+        PI_OVER_4 * safe(uy, ux),
+        PI_OVER_2 - PI_OVER_4 * safe(ux, uy),
+    )
+    x = r * jnp.cos(theta)
+    y = r * jnp.sin(theta)
+    zero = jnp.float32(0.0)
+    return state, jnp.where(degenerate, zero, x), jnp.where(degenerate, zero, y)

@@ -171,3 +171,141 @@ def scatter_and_emit(state, scene, flags, rows, hit_p, normal, front_face,
     else:
         emission = zero3
     return state, srec, emission
+
+
+# ---------------------------------------------------------------------------
+# Component-wise (V3) versions for the padding-free hot path.  Same math as
+# above; vectors are triples of [R] arrays (see ops/vec3.py for why).
+
+from typing import NamedTuple as _NamedTuple
+
+from . import vec3
+from .vec3 import V3
+
+
+class ScatterV3(_NamedTuple):
+    is_scattered: jnp.ndarray
+    attenuation: V3
+    mat_pdf_type: jnp.ndarray
+    skip_pdf: jnp.ndarray
+    skip_dir: V3
+
+
+def _eval_slot_v3(flags, scene, base: V3, mode, aux, p: V3, hit_u, hit_v,
+                  p_rows=None):
+    out = base
+    if flags.has_image:
+        idx = jnp.clip(aux.astype(jnp.int32), 0, scene.atlas.shape[0] - 1)
+        img = vec3.from_rows(sample_image_nearest(
+            scene.atlas, scene.atlas_wh, scene.srgb_lut, idx, hit_u, hit_v
+        ))
+        out = vec3.where(mode == MODE_IMAGE, img, out)
+    if flags.has_noise:
+        turb = perlin.turbulence(p_rows, 7)
+        m = 0.5 * (1.0 + jnp.sin(aux * p.z + 10.0 * turb))
+        out = vec3.where(mode == MODE_NOISE, V3(m, m, m), out)
+    return out
+
+
+def _rowv3(rows, c0):
+    return V3(rows[:, c0], rows[:, c0 + 1], rows[:, c0 + 2])
+
+
+def eval_albedo_v3(flags, scene, rows, p: V3, hit_u, hit_v, p_rows=None):
+    out = _eval_slot_v3(flags, scene, _rowv3(rows, 2), rows[:, 11], rows[:, 12],
+                        p, hit_u, hit_v, p_rows)
+    if flags.has_checker:
+        inv_scale = 1.0 / jnp.where(rows[:, 17] == 0.0, 1.0, rows[:, 17])
+        parity = (
+            jnp.floor(inv_scale * p.x).astype(jnp.int32)
+            + jnp.floor(inv_scale * p.y).astype(jnp.int32)
+            + jnp.floor(inv_scale * p.z).astype(jnp.int32)
+        ) % 2 == 0
+        even = _eval_slot_v3(flags, scene, _rowv3(rows, 18), rows[:, 24],
+                             rows[:, 25], p, hit_u, hit_v, p_rows)
+        odd = _eval_slot_v3(flags, scene, _rowv3(rows, 21), rows[:, 26],
+                            rows[:, 27], p, hit_u, hit_v, p_rows)
+        ck = vec3.where(parity, even, odd)
+        out = vec3.where(rows[:, 11] == MODE_CHECKER, ck, out)
+    return out
+
+
+def eval_emit_v3(flags, scene, rows, p: V3, hit_u, hit_v, p_rows=None):
+    out = _eval_slot_v3(flags, scene, _rowv3(rows, 8), rows[:, 15], rows[:, 16],
+                        p, hit_u, hit_v, p_rows)
+    if flags.has_checker:
+        inv_scale = 1.0 / jnp.where(rows[:, 17] == 0.0, 1.0, rows[:, 17])
+        parity = (
+            jnp.floor(inv_scale * p.x).astype(jnp.int32)
+            + jnp.floor(inv_scale * p.y).astype(jnp.int32)
+            + jnp.floor(inv_scale * p.z).astype(jnp.int32)
+        ) % 2 == 0
+        even = _eval_slot_v3(flags, scene, _rowv3(rows, 18), rows[:, 24],
+                             rows[:, 25], p, hit_u, hit_v, p_rows)
+        odd = _eval_slot_v3(flags, scene, _rowv3(rows, 21), rows[:, 26],
+                            rows[:, 27], p, hit_u, hit_v, p_rows)
+        ck = vec3.where(parity, even, odd)
+        out = vec3.where(rows[:, 15] == MODE_CHECKER, ck, out)
+    return out
+
+
+def scatter_and_emit_v3(state, scene, flags, rows, p: V3, normal: V3,
+                        front_face, hit_u, hit_v, wrd: V3):
+    """Fat-row scatter + emission on V3 state (ray_gen.glsl:328-440)."""
+    mat_type = rows[:, 0].astype(jnp.int32)
+
+    state, fuzz_unit = rng.random_unit_v3(state)
+    state, diel_u = rng.random_float(state)
+
+    # Texture eval needs a [R,3] view of p only when noise textures exist.
+    p_rows = vec3.to_rows(p) if flags.has_noise else None
+    albedo = eval_albedo_v3(flags, scene, rows, p, hit_u, hit_v, p_rows)
+    fuzz = _rowv3(rows, 5)
+
+    is_lamb = mat_type == MAT_TYPE_LAMBERTIAN
+    is_metal = mat_type == MAT_TYPE_METAL
+    is_diel = mat_type == MAT_TYPE_DIELECTRIC
+    is_light = mat_type == MAT_TYPE_DIFFUSE_LIGHT
+
+    # metal (ray_gen.glsl:344-364)
+    reflected = vec3.reflect(wrd, normal)
+    metal_scatters = vec3.dot(reflected, normal) > 0.0
+    refl_unit = vec3.normalize(reflected)
+    metal_dir = refl_unit + fuzz * fuzz_unit
+
+    # dielectric (ray_gen.glsl:366-399)
+    ref_idx = rows[:, 1]
+    ri = jnp.where(front_face, 1.0 / jnp.where(ref_idx == 0.0, 1.0, ref_idx), ref_idx)
+    unit_dir = vec3.normalize(wrd)
+    cos_theta = jnp.minimum(-vec3.dot(unit_dir, normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    cannot_refract = (ri * sin_theta > 1.0) | (schlick_reflectance(cos_theta, ri) > diel_u)
+    diel_dir = vec3.where(
+        cannot_refract,
+        vec3.reflect(unit_dir, normal),
+        vec3.refract(unit_dir, normal, ri),
+    )
+
+    ones = jnp.ones_like(ref_idx)
+    zero = V3(jnp.zeros_like(ones), jnp.zeros_like(ones), jnp.zeros_like(ones))
+    is_scattered = is_lamb | is_diel | (is_metal & metal_scatters)
+    attenuation = vec3.where(
+        is_lamb | is_metal, albedo,
+        vec3.where(is_diel, V3(ones, ones, ones), zero),
+    )
+    skip_pdf = is_metal | is_diel
+    skip_dir = vec3.where(is_metal, metal_dir, vec3.where(is_diel, diel_dir, zero))
+    mat_pdf_type = jnp.where(is_lamb, COSINE_PDF, NO_PDF).astype(jnp.int32)
+
+    srec = ScatterV3(
+        is_scattered=is_scattered, attenuation=attenuation,
+        mat_pdf_type=mat_pdf_type, skip_pdf=skip_pdf, skip_dir=skip_dir,
+    )
+
+    if flags.has_emissive:
+        emit = eval_emit_v3(flags, scene, rows, p, hit_u, hit_v, p_rows)
+        gate = is_light & front_face
+        emission = vec3.where(gate, emit, zero)
+    else:
+        emission = zero
+    return state, srec, emission
