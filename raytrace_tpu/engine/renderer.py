@@ -127,9 +127,14 @@ class Renderer:
         if rows_per_tile is None:
             # Budget ~1M rays per tile: big enough to saturate the chip and
             # amortize dispatch overhead, small enough that one dispatch
-            # stays well under any device watchdog.
+            # stays well under any device watchdog.  Balance the tile count
+            # so the last tile isn't mostly padding (675 rows / budget 218
+            # would otherwise render a 4th tile that is 90% waste).
+            H = self.static.height
             spp = max(1, self.static.sqrt_spp ** 2)
-            rows_per_tile = max(1, (1 << 20) // (self.static.width * spp))
+            budget = max(1, (1 << 20) // (self.static.width * spp))
+            n_tiles = max(1, -(-H // budget))
+            rows_per_tile = -(-H // n_tiles)
         self.rows_per_tile = min(rows_per_tile, self.static.height)
 
         use_dof = compiled.cameras[name].aperture_size > 0.0
