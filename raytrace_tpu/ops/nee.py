@@ -13,64 +13,11 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from . import rng, vec
+from . import rng, vec3
 from .materials import COSINE_PDF, LIGHT_PDF, NO_PDF, SPHERE_PDF
+from .vec3 import V3
 
 PI = jnp.float32(jnp.pi)
-
-
-class LightSample(NamedTuple):
-    position: jnp.ndarray  # [R,3]
-    normal: jnp.ndarray    # [R,3]
-
-
-def sample_light_sources(state, scene, hit_o2w):
-    """Draw one light-triangle point per ray (ray_gen.glsl:252-281).
-
-    hit_o2w: [R,3,4] objectToWorld of each ray's HIT instance (quirk #2).
-    """
-    state, u1 = rng.random_float(state)
-    state, u2 = rng.random_float(state)
-
-    n = scene.light_count.astype(jnp.float32)
-    n_idx = jnp.maximum(scene.light_count - 1, 0)
-    i = jnp.minimum((u1 * n).astype(jnp.int32), n_idx)
-    use_alias = u2 >= scene.light_prob[i]
-    tri_index = jnp.where(use_alias, scene.light_alias[i], i)
-
-    tri = scene.light_tri_p[tri_index]  # [R,3,3] object space
-    world = (
-        jnp.einsum("rij,rvj->rvi", hit_o2w[:, :, :3], tri) + hit_o2w[:, None, :, 3]
-    )
-    state, position = rng.sample_triangle_uniform(
-        state, world[:, 0], world[:, 1], world[:, 2]
-    )
-    nrm = jnp.cross(world[:, 1] - world[:, 0], world[:, 2] - world[:, 0])
-    nrm = vec.normalize(nrm)
-    return state, LightSample(position=position, normal=nrm)
-
-
-def pdf_value(pdf_type, direction, normal, light: LightSample, total_area):
-    """getPdfValue (ray_gen.glsl:283-301); default arm returns 0."""
-    dn = vec.norm(direction)
-    unit = direction * (1.0 / jnp.where(dn == 0.0, 1.0, dn))[..., None]
-
-    sphere = 1.0 / (4.0 * PI)
-    cosine = jnp.maximum(0.0, jnp.sum(unit * normal, axis=-1) / PI)
-
-    dist_sq = jnp.sum(direction * direction, axis=-1)
-    cos_l = jnp.abs(jnp.sum(light.normal * -unit, axis=-1))
-    light_pdf = jnp.where(
-        cos_l <= 0.0,
-        0.0,
-        (dist_sq / jnp.where(cos_l <= 0.0, 1.0, cos_l)) * (1.0 / total_area),
-    )
-
-    out = jnp.zeros_like(cosine)
-    out = jnp.where(pdf_type == SPHERE_PDF, sphere, out)
-    out = jnp.where(pdf_type == COSINE_PDF, cosine, out)
-    out = jnp.where(pdf_type == LIGHT_PDF, light_pdf, out)
-    return out
 
 
 def choose_mixture_pdf(state, mat_pdf_type, has_lights: bool):
@@ -83,50 +30,11 @@ def choose_mixture_pdf(state, mat_pdf_type, has_lights: bool):
     return state, jnp.where(r < 0.5, LIGHT_PDF, mat_pdf_type).astype(jnp.int32)
 
 
-def make_onb(n):
-    """Orthonormal basis about n (common.glsl:187-197).  n: [R,3] unit."""
-    axis2 = vec.normalize(n)
-    pick_y = jnp.abs(axis2[..., 0]) > 0.9
-    a = jnp.where(
-        pick_y[:, None],
-        jnp.array([0.0, 1.0, 0.0], jnp.float32),
-        jnp.array([1.0, 0.0, 0.0], jnp.float32),
-    )
-    axis1 = jnp.cross(axis2, a)
-    axis1 = vec.normalize(axis1)
-    axis0 = jnp.cross(axis2, axis1)
-    return axis0, axis1, axis2
-
-
-def gen_scatter_direction(state, pdf_type, hit_p, normal, light: LightSample):
-    """genScatterDirection (ray_gen.glsl:303-315).  RNG draws are
-    unconditional (2 for the sphere sample + 2 for the cosine sample) so the
-    wavefront stays branch-free."""
-    state, sphere_dir = rng.random_unit_vec3(state)
-    state, cos_local = rng.random_cosine_direction(state)
-    a0, a1, a2 = make_onb(normal)
-    cosine_dir = (
-        cos_local[..., 0:1] * a0 + cos_local[..., 1:2] * a1 + cos_local[..., 2:3] * a2
-    )
-    light_dir = light.position - hit_p
-
-    out = jnp.zeros_like(hit_p)
-    out = jnp.where((pdf_type == SPHERE_PDF)[:, None], sphere_dir, out)
-    out = jnp.where((pdf_type == COSINE_PDF)[:, None], cosine_dir, out)
-    out = jnp.where((pdf_type == LIGHT_PDF)[:, None], light_dir, out)
-    return state, out
-
-
 # ---------------------------------------------------------------------------
 # Component-wise (V3) NEE for the padding-free hot path.
 
-from typing import NamedTuple as _NamedTuple
 
-from . import vec3
-from .vec3 import V3
-
-
-class LightSampleV3(_NamedTuple):
+class LightSampleV3(NamedTuple):
     position: V3
     normal: V3
 
