@@ -534,7 +534,18 @@ def bounce_wavefront(
         if next_size == 0:
             break
 
-        sel = jnp.argsort(~s_cur.alive)[:next_size]
+        # Compaction without a sort: cumsum gives each alive ray a dense
+        # destination slot; a dropped-out-of-range scatter builds the
+        # selection.  Dead slots alias index 0 but are marked dead, carry
+        # zero accumulation, and their final RNG state is never consumed.
+        cur_R = s_cur.alive.shape[0]
+        pos = jnp.cumsum(s_cur.alive.astype(jnp.int32)) - 1
+        n_alive = jnp.sum(s_cur.alive.astype(jnp.int32))
+        dest = jnp.where(s_cur.alive & (pos < next_size), pos, next_size)
+        sel = jnp.zeros((next_size,), jnp.int32).at[dest].set(
+            jnp.arange(cur_R, dtype=jnp.int32), mode="drop"
+        )
+        alive_next = jnp.arange(next_size) < n_alive
         sel_chain = idx[sel]
         take3 = lambda v: V3(v.x[sel], v.y[sel], v.z[sel])
         nz = jnp.zeros((next_size,), jnp.float32)
@@ -545,7 +556,7 @@ def bounce_wavefront(
             ray_d=take3(s_cur.ray_d),
             throughput=take3(s_cur.throughput),
             accumulated=V3(nz, nz, nz),
-            alive=s_cur.alive[sel],
+            alive=alive_next,
             rays_traced=jnp.float32(0.0),
         )
 

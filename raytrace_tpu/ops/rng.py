@@ -194,3 +194,18 @@ def sample_disk_concentric_xy(state):
     y = r * jnp.sin(theta)
     zero = jnp.float32(0.0)
     return state, jnp.where(degenerate, zero, x), jnp.where(degenerate, zero, y)
+
+
+def random_gaussian(state):
+    """Box-Muller Gaussian pair (common.glsl:264-271, exact port).
+
+    Present for completeness with the reference's device library; the
+    reference itself only documents it for Gaussian-filter antialiasing and
+    never calls it at runtime.
+    """
+    state, u1 = random_float(state)
+    state, u2 = random_float(state)
+    u1 = jnp.maximum(1e-38, u1)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = TWO_PI * u2
+    return state, r * jnp.cos(theta), r * jnp.sin(theta)
