@@ -42,6 +42,29 @@ def get_batch_ray_times(sample_batches: int, seed: int = HOST_SEED) -> np.ndarra
     return np.clip(t_center + jitter * d, 0.0, 1.0).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_prepare(static):
+    from .wavefront import prepare_batch
+
+    return jax.jit(functools.partial(prepare_batch, static))
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_tile(static, rows_per_tile: int, use_dof: bool):
+    from .wavefront import render_tile_step
+
+    return jax.jit(functools.partial(
+        render_tile_step, static, rows_per_tile=rows_per_tile, use_dof=use_dof
+    ))
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _finish_batch(height, accum, tiles, ray_counts, b):
+    img = jnp.concatenate(tiles, axis=0)[:height]
+    bf = b.astype(jnp.float32)
+    return (bf * accum + img) / (bf + 1.0), jnp.sum(jnp.stack(ray_counts))
+
+
 @dataclass
 class RenderStats:
     batches_done: int = 0
@@ -138,27 +161,25 @@ class Renderer:
         self.rows_per_tile = min(rows_per_tile, self.static.height)
 
         use_dof = compiled.cameras[name].aperture_size > 0.0
-        from .wavefront import prepare_batch, render_tile_step
+        if trace_builder is None:
+            # Module-level executable cache: a new Renderer for the same
+            # (scene-static, tiling) reuses compiled programs instead of
+            # re-tracing (compiles run 1-5 min on TPU via the remote
+            # helper; tests build many Renderers).
+            self._prepare = _cached_prepare(self.static)
+            self._tile = _cached_tile(self.static, self.rows_per_tile, use_dof)
+        else:
+            from .wavefront import prepare_batch, render_tile_step
 
-        self._prepare = jax.jit(functools.partial(prepare_batch, self.static))
-        self._tile = jax.jit(
-            functools.partial(
-                render_tile_step,
-                self.static,
-                rows_per_tile=self.rows_per_tile,
-                use_dof=use_dof,
-                trace_builder=trace_builder,
+            self._prepare = jax.jit(functools.partial(prepare_batch, self.static))
+            self._tile = jax.jit(
+                functools.partial(
+                    render_tile_step, self.static,
+                    rows_per_tile=self.rows_per_tile, use_dof=use_dof,
+                    trace_builder=trace_builder,
+                )
             )
-        )
-
-        H = self.static.height
-
-        def _finish(accum, tiles, ray_counts, b):
-            img = jnp.concatenate(tiles, axis=0)[:H]
-            bf = b.astype(jnp.float32)
-            return (bf * accum + img) / (bf + 1.0), jnp.sum(jnp.stack(ray_counts))
-
-        self._finish = jax.jit(_finish, donate_argnums=(0,))
+        self._finish = functools.partial(_finish_batch, self.static.height)
 
         self.accum = jnp.zeros(
             (self.static.height, self.static.width, 3), jnp.float32
