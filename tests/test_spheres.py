@@ -147,3 +147,44 @@ class TestModeAgreement:
         assert err < tol, f"analytic vs mesh rmse {err}"
         mean_diff = np.abs(img_a.mean(axis=(0, 1)) - img_m.mean(axis=(0, 1)))
         assert mean_diff.max() < 0.01, f"mean bias {mean_diff}"
+
+
+class TestEllipsoidFallback:
+    def test_nonuniform_scale_uses_object_path(self):
+        """A non-uniformly scaled sphere instance can't use world-space
+        sphere tables; the renderer must fall back to the object-space
+        intersector and still agree with tessellated geometry."""
+        from raytrace_tpu.scene_file import (
+            ConstantTexture, Instance, Lambertian, PerspectiveCamera,
+            Render, Rotate, SceneFile as SF, SolidSky, Transform,
+            TransformType, UvSphere,
+        )
+
+        sf = SF(
+            cameras=[PerspectiveCamera(name="c", eye=[0, 0, 6], look_at=[0, 0, 0],
+                                       up=[0, 1, 0], fov_y=45, z_near=0.01,
+                                       z_far=100, focal_length=1, aperture_size=0)],
+            textures=[ConstantTexture(name="g", rgb=[0.6, 0.3, 0.3])],
+            materials=[Lambertian(name="m", albedo="g")],
+            primitives=[UvSphere(name="s", center=[0, 0, 0], radius=1.0,
+                                 rings=32, segments=64, material="m")],
+            instances=[Instance(name="s", transform=TransformType(
+                start=Transform(scale=[2.0, 1.0, 1.0])))],
+            sky=SolidSky(rgb=[1.0, 1.0, 1.0]),
+            render=Render(camera="c", samples_per_pixel=9, sample_batches=1,
+                          max_ray_depth=6, aspect_ratio=1.0),
+        )
+        cs = compile_scene(sf, width=40, height=40)
+        r = Renderer(cs)
+        assert not r.static.sphere_world_mode     # fallback detected
+        img_a = r.render_all()
+
+        cs_m = compile_scene(sf, width=40, height=40, analytic_spheres=False)
+        img_m = Renderer(cs_m).render_all()
+        # Ellipsoid silhouette must match the tessellated render closely.
+        assert abs(float(img_a.mean() - img_m.mean())) < 0.015
+        # The ellipsoid is wider than tall: x-extent of non-sky pixels.
+        sky = np.all(np.isclose(img_a, 1.0, atol=0.02), axis=-1)
+        cols = (~sky).any(axis=0).sum()
+        rows = (~sky).any(axis=1).sum()
+        assert cols > rows * 1.5
