@@ -109,6 +109,9 @@ class SceneStatic:
     # fused Pallas sphere sweep (TPU; interpret-mode on CPU for tests)
     use_pallas_sweep: bool = False
     pallas_interpret: bool = False
+    # whole-bounce-loop fused kernel (ops/megakernel.py); implies the
+    # pallas-sweep preconditions and megakernel_supported()
+    use_megakernel: bool = False
 
 
 def upload_scene(cs: CompiledScene, bvh=None, sharding=None):

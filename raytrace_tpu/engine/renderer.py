@@ -91,6 +91,12 @@ class Renderer:
         use_pallas_sweep: Optional[bool] = None,
     ):
         self.compiled = compiled
+        # Kept so update_image_size can rebuild with identical options.
+        self._ctor_kwargs = dict(
+            camera_name=camera_name, trace_builder=trace_builder,
+            use_bvh=use_bvh, leaf_size=leaf_size,
+            metrics_jsonl=metrics_jsonl, use_pallas_sweep=use_pallas_sweep,
+        )
         bvh = None
         # BVH only pays for itself on big triangle sets (OBJ meshes, mesh-
         # parity mode); small soups are faster as a dense sweep, and the
@@ -124,6 +130,7 @@ class Renderer:
             pallas_interpret=not on_tpu,
         )
 
+        self._use_megakernel_pref = use_pallas
         # World-space sphere tables per batch time (host f64 -> f32); None
         # when a sphere instance has non-uniform scale (ellipsoid path).
         self.sphere_tables = None
@@ -140,6 +147,16 @@ class Renderer:
                 self.static = dataclasses.replace(
                     self.static, use_pallas_sweep=False
                 )
+        # Whole-bounce-loop megakernel: the fast path on TPU whenever the
+        # scene fits its static gate (ops/megakernel.megakernel_supported).
+        if self._use_megakernel_pref and trace_builder is None:
+            from ..ops.megakernel import megakernel_supported
+
+            if megakernel_supported(self.static):
+                self.static = dataclasses.replace(
+                    self.static, use_megakernel=True
+                )
+
         name = camera_name or compiled.render.camera
         if name not in compiled.cameras:
             raise KeyError(f"Camera {name} not found")
@@ -213,12 +230,17 @@ class Renderer:
             self.scene, jnp.float32(self.batch_times[self.current_batch]),
             sph_table=sph_table,
         )
+        # A non-default max_depth is passed traced (no recompile on the XLA
+        # path); the default passes None so the megakernel path can
+        # specialize its in-kernel loop bound.
+        md = (None if self.max_depth == self.static.max_ray_depth
+              else jnp.int32(self.max_depth))
         tiles, ray_counts = [], []
         for row0 in range(0, H, self.rows_per_tile):
             tile, tr = self._tile(
                 self.scene, geom, self.camera,
                 jnp.int32(self.current_batch), jnp.int32(row0),
-                max_depth=jnp.int32(self.max_depth),
+                max_depth=md,
             )
             tiles.append(tile)
             ray_counts.append(tr)
@@ -271,12 +293,12 @@ class Renderer:
 
     def update_image_size(self, width: int, height: int) -> "Renderer":
         """Resize restarts progressive accumulation (render_engine.rs:397-414).
-        Returns a NEW renderer compiled for the new resolution."""
-        from ..models.compile import compile_scene  # local import, avoids cycle
+        Returns a NEW renderer compiled for the new resolution, preserving
+        every constructor option of this one."""
         import dataclasses
 
         cs = dataclasses.replace(
             self.compiled,
             render=dataclasses.replace(self.compiled.render, width=width, height=height),
         )
-        return Renderer(cs, rows_per_tile=None)
+        return Renderer(cs, rows_per_tile=None, **self._ctor_kwargs)

@@ -586,6 +586,18 @@ def render_tile(
     chip); otherwise the per-sample SUM is returned for a cross-chip psum.
     Returns (tile [rows, W, 3], rays-traced count).
     """
+    # Fused whole-loop kernel path.  A runtime max_depth override (traced)
+    # can't specialize the in-kernel fori bound, so it falls back to the
+    # XLA wavefront below.
+    if static.use_megakernel and max_depth is None:
+        from ..ops.megakernel import render_tile_mega
+
+        return render_tile_mega(
+            static, scene, geom, cam, sample_batch, row0, rows_per_tile,
+            use_dof, spp_local=spp_local, sample_base=sample_base,
+            reduce_mean=reduce_mean, interpret=static.pallas_interpret,
+        )
+
     W = static.width
     sqrt_spp = static.sqrt_spp
     spp = sqrt_spp * sqrt_spp

@@ -17,7 +17,11 @@ from . import rng, vec3
 from .materials import COSINE_PDF, LIGHT_PDF, NO_PDF, SPHERE_PDF
 from .vec3 import V3
 
-PI = jnp.float32(jnp.pi)
+# np scalar (not a jnp array): inside Pallas kernels a jnp module constant
+# becomes a captured traced const, which pallas_call rejects.
+import numpy as _np
+
+PI = _np.float32(_np.pi)
 
 
 def choose_mixture_pdf(state, mat_pdf_type, has_lights: bool):

@@ -48,12 +48,24 @@ def step_rng(state):
     return state * _MUL + _INC
 
 
+def _u32_to_f32(word):
+    """Exact uint32 → float32 convert, written without the direct cast.
+
+    Mosaic (Pallas TPU) does not support the uint32→f32 convert; splitting
+    into two exact 16-bit halves gives the identical single-rounding result
+    (hi*65536 is exact, lo is exact, one rounded add = round-to-nearest of
+    the full value) so XLA and in-kernel paths agree bitwise."""
+    hi = (word >> np.uint32(16)).astype(jnp.int32).astype(jnp.float32)
+    lo = (word & np.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    return hi * jnp.float32(65536.0) + lo
+
+
 def random_float(state):
     """Returns (new_state, float in [0, 1])."""
     state = step_rng(state)
     word = ((state >> ((state >> np.uint32(28)) + np.uint32(4))) ^ state) * _OUT_MUL
     word = (word >> np.uint32(22)) ^ word
-    return state, word.astype(jnp.float32) / _U32_MAX_F
+    return state, _u32_to_f32(word) / _U32_MAX_F
 
 
 def random_vec2(state):

@@ -128,6 +128,14 @@ class MultiChipRenderer:
                 self.static = dataclasses.replace(
                     self.static, use_pallas_sweep=False
                 )
+        if self.static.use_pallas_sweep:
+            from ..ops.megakernel import megakernel_supported
+
+            if megakernel_supported(self.static):
+                self.static = dataclasses.replace(
+                    self.static, use_megakernel=True
+                )
+
         name = camera_name or compiled.render.camera
         self.camera = cam_ops.build_camera_arrays(
             compiled.cameras[name], self.static.width, self.static.height

@@ -1,0 +1,128 @@
+"""Megakernel (ops/megakernel.py) parity vs the XLA wavefront.
+
+The fused kernel runs in interpret mode on CPU and must reproduce the
+existing bounce loop: identical RNG draw order and identical arithmetic
+give bitwise-equal images except where chaotic FP divergence (dielectric/
+metal secondary paths) flips individual rays — those scenes are held to a
+pixel-count bound instead.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import reference_asset
+
+from raytrace_tpu.engine.arrays import upload_scene
+from raytrace_tpu.engine.wavefront import make_trace_fn, prepare_batch, render_tile
+from raytrace_tpu.models import compile_scene
+from raytrace_tpu.ops.camera import build_camera_arrays
+from raytrace_tpu.ops.megakernel import megakernel_supported, render_tile_mega
+from raytrace_tpu.ops.spheres import world_sphere_tables
+from raytrace_tpu.scene_file import SceneFile
+
+
+def _setup(name, width=64, height=36, spp=4, depth=8):
+    sf = SceneFile.load_json(reference_asset(name))
+    sf.render.samples_per_pixel = spp
+    sf.render.sample_batches = 1
+    sf.render.max_ray_depth = depth
+    cs = compile_scene(sf, width=width, height=height)
+    scene, static = upload_scene(cs)
+    static = dataclasses.replace(
+        static, use_pallas_sweep=True, pallas_interpret=True
+    )
+    table = None
+    if static.has_spheres:
+        tables = world_sphere_tables(cs, np.array([0.5], np.float32))
+        assert tables is not None
+        static = dataclasses.replace(static, sphere_world_mode=True)
+        table = tables[0]
+    cam = build_camera_arrays(
+        cs.cameras[cs.render.camera], static.width, static.height
+    )
+    geom = prepare_batch(static, scene, jnp.float32(0.5), sph_table=table)
+    use_dof = cs.cameras[cs.render.camera].aperture_size > 0.0
+    return cs, scene, static, cam, geom, use_dof
+
+
+def _compare(name, **kw):
+    cs, scene, static, cam, geom, use_dof = _setup(name, **kw)
+    assert megakernel_supported(static), name
+    H = static.height
+    trace_fn = make_trace_fn(static, scene, geom)
+    ref, rays_ref = render_tile(
+        static, scene, cam, trace_fn, geom,
+        jnp.int32(0), jnp.int32(0), H, use_dof,
+    )
+    got, rays_got = render_tile_mega(
+        static, scene, geom, cam,
+        jnp.int32(0), jnp.int32(0), H, use_dof, interpret=True,
+    )
+    return np.asarray(ref), np.asarray(got), float(rays_ref), float(rays_got)
+
+
+@pytest.mark.parametrize("name", [
+    "diffuse-spheres.json",
+    "checkered-spheres.json",
+    "quads.json",
+    "triangle.json",
+])
+def test_bitwise_parity(name):
+    ref, got, rr, rg = _compare(name)
+    assert rr == rg
+    np.testing.assert_array_equal(ref, got)
+
+
+@pytest.mark.parametrize("name,max_bad", [
+    ("metal-spheres.json", 8),
+    ("dielectric-spheres.json", 8),
+    ("cornell-box.json", 4),
+    ("final-one-weekend.json", 24),
+])
+def test_statistical_parity(name, max_bad):
+    """Chaotic scenes: individual rays may diverge at FP noise level; the
+    image must agree everywhere else and in its channel means."""
+    ref, got, rr, rg = _compare(name)
+    d = np.abs(ref - got).max(axis=2)
+    n_bad = int((d > 1e-4).sum())
+    assert n_bad <= max_bad, f"{n_bad} divergent pixels"
+    assert abs(ref.mean() - got.mean()) < 1e-3
+    assert abs(rr - rg) <= 0.002 * rr
+
+
+def test_unsupported_scenes_gated():
+    """Image/noise-texture scenes must not enter the megakernel path."""
+    for name in ["earth.json", "perlin-spheres.json", "simple-light.json"]:
+        sf = SceneFile.load_json(reference_asset(name))
+        cs = compile_scene(sf, width=32, height=18)
+        scene, static = upload_scene(cs)
+        static = dataclasses.replace(
+            static, use_pallas_sweep=True, sphere_world_mode=True
+        )
+        assert not megakernel_supported(static), name
+
+
+def test_renderer_integration():
+    """Renderer with the megakernel flag forced on (interpret) matches the
+    default XLA renderer output."""
+    from raytrace_tpu.engine.renderer import Renderer
+
+    sf = SceneFile.load_json(reference_asset("diffuse-spheres.json"))
+    sf.render.samples_per_pixel = 4
+    sf.render.sample_batches = 2
+    sf.render.max_ray_depth = 6
+    cs = compile_scene(sf, width=48, height=27)
+
+    r_ref = Renderer(cs, use_pallas_sweep=False)
+    img_ref = r_ref.render_all()
+
+    r_mega = Renderer(cs, use_pallas_sweep=True)
+    assert r_mega.static.use_megakernel
+    img_mega = r_mega.render_all()
+
+    assert np.isfinite(img_mega).all()
+    # XLA sweep vs interpret-kernel sweep agree to FP noise.
+    assert np.abs(img_ref - img_mega).max() < 1e-4
