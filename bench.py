@@ -26,7 +26,7 @@ def main():
     scene_name = os.environ.get("BENCH_SCENE", "final-one-weekend.json")
     width = int(os.environ.get("BENCH_WIDTH", 1200))
     height = int(os.environ.get("BENCH_HEIGHT", 675))
-    n_timed = int(os.environ.get("BENCH_BATCHES", 4))
+    n_timed = int(os.environ.get("BENCH_BATCHES", 12))
 
     from raytrace_tpu.models import compile_scene
     from raytrace_tpu.scene_file import SceneFile
@@ -36,19 +36,17 @@ def main():
     if not os.path.exists(path):
         path = scene_name
     sf = SceneFile.load_json(path)
-    sf.render.sample_batches = max(sf.render.sample_batches, n_timed + 1)
+    sf.render.sample_batches = max(sf.render.sample_batches, 2 * n_timed)
 
     cs = compile_scene(sf, width=width, height=height)
     r = Renderer(cs)
 
-    # Batch 0: compile + warm-up (excluded from the measurement).
-    r.render_next_batch()
+    # First chunk: compile + warm-up (excluded from the measurement).
+    r.render_batches(n_timed)
 
     t0 = time.perf_counter()
     rays0 = r.stats.rays_traced
-    done = 0
-    while done < n_timed and r.render_next_batch():
-        done += 1
+    r.render_batches(n_timed)
     dt = time.perf_counter() - t0
     rays = r.stats.rays_traced - rays0
 

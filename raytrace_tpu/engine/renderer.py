@@ -58,6 +58,89 @@ def _cached_tile(static, rows_per_tile: int, use_dof: bool):
     ))
 
 
+def tile_pixel_perm(height: int, width: int, tile: int = 32) -> np.ndarray:
+    """Lane->pixel assignment enumerating the image in 32x32 tiles: one
+    kernel cell (1024 lanes) = one spatial tile, so primary-ray frusta are
+    tight and the cluster cull can skip most of the scene per cell."""
+    ty = -(-height // tile)
+    tx = -(-width // tile)
+    ys = np.arange(ty * tile)
+    xs = np.arange(tx * tile)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    pid = np.where((yy < height) & (xx < width), yy * width + xx,
+                   height * width)
+    blocks = pid.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3)
+    return blocks.reshape(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_mega_chunk(static, use_dof: bool, k: int):
+    """k progressive batches fused into ONE device call: per-batch geometry
+    prepare, whole-frame megakernel render and the running-mean fold run in
+    a lax.scan — host<->device round trips per batch drop from ~5 to 1/k
+    (each call through the axon tunnel costs ~100 ms, measured)."""
+    from ..ops.megakernel import render_tile_mega
+    from .wavefront import prepare_batch
+
+    def chunk(scene, cam, accum, pix_perm, batch0, times, sph_tabs):
+        if not static.any_animated:
+            # Static scene: all k batches share geometry, so they fuse into
+            # ONE kernel call whose lanes run k*spp samples each — the
+            # divergence tail amortizes over the whole chunk.
+            geom = prepare_batch(
+                static, scene, times[0],
+                sph_table=sph_tabs[0] if static.sphere_world_mode else None,
+            )
+            sum_tiles, tr, _traced = render_tile_mega(
+                static, scene, geom, cam, batch0, jnp.int32(0),
+                static.height, use_dof, reduce_mean=False,
+                interpret=static.pallas_interpret, pix_perm=pix_perm,
+                n_batches=k,
+            )
+            spp = static.sqrt_spp ** 2
+            b0 = batch0.astype(jnp.float32)
+            accum = (b0 * accum + sum_tiles / spp) / (b0 + k)
+            return accum, jnp.full((k,), tr / k, jnp.float32)
+
+        def step(carry, inp):
+            accum = carry
+            t, tab, bi = inp
+            geom = prepare_batch(
+                static, scene, t,
+                sph_table=tab if static.sphere_world_mode else None,
+            )
+            tile, tr, _traced = render_tile_mega(
+                static, scene, geom, cam, bi, jnp.int32(0), static.height,
+                use_dof, interpret=static.pallas_interpret, pix_perm=pix_perm,
+            )
+            bf = bi.astype(jnp.float32)
+            accum = (bf * accum + tile) / (bf + 1.0)
+            return accum, tr
+
+        bids = batch0 + jnp.arange(k, dtype=jnp.int32)
+        accum, trs = jax.lax.scan(
+            step, accum, (times, sph_tabs, bids))
+        return accum, trs
+
+    return jax.jit(chunk)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_mega_step(static, use_dof: bool):
+    """Whole-frame megakernel batch step: one dispatch renders every pixel
+    with a cost-sorted lane->pixel assignment (ops/megakernel.py)."""
+    from ..ops.megakernel import render_tile_mega
+
+    def step(scene, geom, cam, sample_batch, pix_perm):
+        return render_tile_mega(
+            static, scene, geom, cam, sample_batch, jnp.int32(0),
+            static.height, use_dof, interpret=static.pallas_interpret,
+            pix_perm=pix_perm,
+        )
+
+    return jax.jit(step)
+
+
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _finish_batch(height, accum, tiles, ray_counts, b):
     img = jnp.concatenate(tiles, axis=0)[:height]
@@ -178,6 +261,22 @@ class Renderer:
         self.rows_per_tile = min(rows_per_tile, self.static.height)
 
         use_dof = compiled.cameras[name].aperture_size > 0.0
+        # Megakernel fast path: one whole-frame dispatch per batch with a
+        # cost-sorted pixel permutation (divergence tail fix).
+        self._mega_step = None
+        self._pix_perm = None
+        self._use_dof = use_dof
+        if self.static.use_megakernel:
+            self._mega_step = _cached_mega_step(self.static, use_dof)
+            self._pix_perm = jnp.asarray(tile_pixel_perm(
+                self.static.height, self.static.width))
+            self._times_dev = jnp.asarray(self.batch_times, jnp.float32)
+            if self.sphere_tables is not None:
+                self._sph_tables_dev = jnp.asarray(
+                    self.sphere_tables, jnp.float32)
+            else:
+                B = len(self.batch_times)
+                self._sph_tables_dev = jnp.zeros((B, 1, 5), jnp.float32)
         if trace_builder is None:
             # Module-level executable cache: a new Renderer for the same
             # (scene-static, tiling) reuses compiled programs instead of
@@ -235,15 +334,22 @@ class Renderer:
         # specialize its in-kernel loop bound.
         md = (None if self.max_depth == self.static.max_ray_depth
               else jnp.int32(self.max_depth))
-        tiles, ray_counts = [], []
-        for row0 in range(0, H, self.rows_per_tile):
-            tile, tr = self._tile(
+        if self._mega_step is not None and md is None:
+            tile, tr, _traced = self._mega_step(
                 self.scene, geom, self.camera,
-                jnp.int32(self.current_batch), jnp.int32(row0),
-                max_depth=md,
+                jnp.int32(self.current_batch), self._pix_perm,
             )
-            tiles.append(tile)
-            ray_counts.append(tr)
+            tiles, ray_counts = [tile], [tr]
+        else:
+            tiles, ray_counts = [], []
+            for row0 in range(0, H, self.rows_per_tile):
+                tile, tr = self._tile(
+                    self.scene, geom, self.camera,
+                    jnp.int32(self.current_batch), jnp.int32(row0),
+                    max_depth=md,
+                )
+                tiles.append(tile)
+                ray_counts.append(tr)
         self.accum, rays_dev = self._finish(
             self.accum, tiles, ray_counts, jnp.int32(self.current_batch)
         )
@@ -256,10 +362,59 @@ class Renderer:
         self.stats.render_seconds += dt
         return True
 
+    def render_batches(self, k: int) -> int:
+        """Render up to k batches in ONE fused device call (megakernel path;
+        falls back to per-batch stepping otherwise).  Returns the number of
+        batches actually rendered."""
+        total = self.compiled.render.sample_batches
+        k = min(k, total - self.current_batch)
+        if k <= 0:
+            return 0
+        if (self._mega_step is None or k == 1
+                or self.max_depth != self.static.max_ray_depth):
+            done = 0
+            while done < k and self.render_next_batch():
+                done += 1
+            return done
+        t0 = _time.perf_counter()
+        cur = self.current_batch
+        chunk_fn = _cached_mega_chunk(self.static, self._use_dof, k)
+        accum, trs = chunk_fn(
+            self.scene, self.camera, self.accum, self._pix_perm,
+            jnp.int32(cur), self._times_dev[cur:cur + k],
+            self._sph_tables_dev[cur:cur + k],
+        )
+        self.accum = accum
+        trs = np.asarray(trs)  # blocks until the chunk finishes
+        dt = _time.perf_counter() - t0
+        for i in range(k):
+            self.metrics.record(cur + i, dt / k, float(trs[i]))
+        self.current_batch += k
+        self.stats.batches_done += k
+        self.stats.rays_traced += float(trs.sum())
+        self.stats.render_seconds += dt
+        return k
+
+    # Fused batches per device call on the megakernel path: big enough to
+    # amortize the ~100 ms/call tunnel cost AND the per-lane divergence
+    # tail (static scenes fuse k batches into one sample stream), small
+    # enough that a dispatch stays far from the device watchdog.
+    CHUNK = 12
+
+    def chunk_size(self) -> int:
+        spp = max(1, self.static.sqrt_spp ** 2)
+        return max(1, min(self.CHUNK, 256 // spp))
+
     def render_all(self, progress=None) -> np.ndarray:
-        while self.render_next_batch():
+        total = self.compiled.render.sample_batches
+        while self.current_batch < total:
+            if self._mega_step is not None:
+                self.render_batches(
+                    min(self.chunk_size(), total - self.current_batch))
+            elif not self.render_next_batch():
+                break
             if progress is not None:
-                progress(self.current_batch, self.compiled.render.sample_batches)
+                progress(self.current_batch, total)
         return self.image()
 
     def image(self) -> np.ndarray:

@@ -592,11 +592,12 @@ def render_tile(
     if static.use_megakernel and max_depth is None:
         from ..ops.megakernel import render_tile_mega
 
-        return render_tile_mega(
+        tile, rays, _ = render_tile_mega(
             static, scene, geom, cam, sample_batch, row0, rows_per_tile,
             use_dof, spp_local=spp_local, sample_base=sample_base,
             reduce_mean=reduce_mean, interpret=static.pallas_interpret,
         )
+        return tile, rays
 
     W = static.width
     sqrt_spp = static.sqrt_spp
@@ -640,6 +641,7 @@ class BatchGeometry(NamedTuple):
     sph_w2o: jnp.ndarray    # [S,3,4] world-to-object per sphere
     sph_table: jnp.ndarray  # [S,5] world c/r/k (host-precomputed per batch)
     sph_table8: jnp.ndarray # [S8,8] kernel-layout table for the Pallas sweep
+    sph_bounds8: jnp.ndarray  # [C,8] conservative 8-sphere cluster bounds
     tri_table16: jnp.ndarray # [T8,16] v0/e1/e2 triangles (Pallas sweep + attrs)
     tri_attr16: jnp.ndarray  # [T8,16] n0/dn1/dn2/uv0/duv1/duv2 (hit attrs)
     prim_rows: jnp.ndarray  # [P,64] combined per-primitive rows (fat path)
@@ -675,8 +677,12 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
         from ..ops.pallas_sweep import pad_table8
 
         sph_table8 = pad_table8(jnp.asarray(sph_table))
+        from ..ops.spheres import cluster_bounds_from_table8
+
+        sph_bounds8 = cluster_bounds_from_table8(sph_table8, group=64)
     else:
         sph_table8 = jnp.zeros((8, 8), jnp.float32)
+        sph_bounds8 = jnp.zeros((1, 8), jnp.float32)
 
     if static.use_pallas_sweep and static.has_tris and static.bvh_mode == "none":
         from ..ops.pallas_tri_sweep import pack_tri_table
@@ -726,7 +732,8 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
 
     return BatchGeometry(inst_mats=inst_mats, world_p=world_p, world_n=world_n,
                          sph_w2o=sph_w2o, sph_table=jnp.asarray(sph_table),
-                         sph_table8=sph_table8, tri_table16=tri_table16,
+                         sph_table8=sph_table8, sph_bounds8=sph_bounds8,
+                         tri_table16=tri_table16,
                          tri_attr16=tri_attr16, prim_rows=prim_rows,
                          inst_o2w_rows=inst_o2w_rows)
 

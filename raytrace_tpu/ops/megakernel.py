@@ -31,6 +31,7 @@ from non-replicated data, scalar table reads from SMEM only.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 
@@ -48,6 +49,8 @@ from .vec3 import V3
 
 CELL = 1024          # rays per grid cell, as an (8, 128) tile
 SUB = 8              # sublanes per cell
+
+import os as _os
 
 
 class _MatRef:
@@ -104,34 +107,57 @@ class MegaConfig:
     use_dof: bool
     has_lights: bool
     flags: object       # TexFlags (has_image/has_noise must be False)
+    n_pix: int = 0      # pixels in this tile (rows_per_tile * width)
+    n_batches: int = 1  # sample batches fused into one lane sample stream
+                        # (static scenes only: geometry identical per batch)
+    use_cull: bool = False   # cluster-culled sphere sweep (spheres >= 64)
     sky_is_gradient: bool = False
 
 
-def _fetch_rows(rowsT_ref, prim, P: int, rows_needed):
-    """One-hot MXU fetch: per sublane k, rowsT [64,P] @ onehot [P,128].
+def _fetch_rows(rowsT_ref, prim, P: int, layout):
+    """One-hot MXU fetch as a SINGLE default-precision matmul.
 
-    Returns {slot: (8,128) f32}.  Precision.HIGHEST makes the fetch exact
-    (default f32 matmul runs bf16 passes, ~2e-3 error — probed)."""
-    subs = []
-    for k in range(SUB):
-        pk = prim[k:k + 1, :]                                   # [1,128]
-        io = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
-        oh = (io == pk).astype(jnp.float32)
-        subs.append(jax.lax.dot_general(
-            rowsT_ref[:], oh, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32))                # [64,128]
-    return {
-        j: jnp.concatenate([s[j:j + 1, :] for s in subs], axis=0)
-        for j in rows_needed
-    }
+    rowsT_ref rows: [shading slots | geo hi | geo lo] (build_mega_tables).
+    The one-hot is 0/1 (exact in bf16) and accumulation is f32, so every
+    fetched value is exactly bf16(row) — shading rows use that directly,
+    geometry rows reconstruct ~16-bit-mantissa values as hi+lo.
+    Eight per-sublane matmuls were MXU-latency-bound (~23 ns/ray measured);
+    lane-concatenating the one-hots makes it one [M,P]@[P,1024] call."""
+    shade, geo = layout
+    io = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+    oh = jnp.concatenate(
+        [(io == prim[k:k + 1, :]).astype(jnp.float32) for k in range(SUB)],
+        axis=1,
+    )                                                           # [P, 1024]
+    out = jax.lax.dot_general(
+        rowsT_ref[:], oh, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)                     # [M, 1024]
+
+    def row(r):
+        return jnp.concatenate(
+            [out[r:r + 1, k * 128:(k + 1) * 128] for k in range(SUB)], axis=0)
+
+    slots = {j: row(r) for r, j in enumerate(shade)}
+    nsh = len(shade)
+    ngeo = len(geo)
+    for r, j in enumerate(geo):
+        slots[j] = row(nsh + r) + row(nsh + ngeo + r)
+    return slots
 
 
-def _sweep(cfg: MegaConfig, sph_ref, tri_ref, o: V3, d: V3, nzero):
+def _sweep(cfg: MegaConfig, sph_ref, bnd_ref, tri_ref, o: V3, d: V3,
+           active, nzero):
     """Closest hit: scalar-loop sweep over SMEM tables, unrolled x8.
 
-    Returns (t, prim, is_sphere, bu, bv) matching engine.wavefront.RawHit
-    conventions (prim = sphere id | s_pad + tri id)."""
+    With use_cull, spheres are swept in clusters of 8 behind a conservative
+    bounding-sphere pre-test: a cluster is skipped when NO active lane can
+    hit it closer than its current best t.  This prunes (a) clusters
+    outside a coherent pixel tile's frustum and (b) nearly-dead tail
+    iterations where only a few lanes are still tracing.
+
+    Returns (t, prim, is_sphere, bu, bv, tri_p) matching
+    engine.wavefront.RawHit conventions (prim = sphere id | s_pad + tri)."""
     a = vec3.dot(d, d)
     inv_a = 1.0 / a
     ddo = vec3.dot(d, o)
@@ -150,8 +176,7 @@ def _sweep(cfg: MegaConfig, sph_ref, tri_ref, o: V3, d: V3, nzero):
     if cfg.n_spheres:
         S8 = -(-cfg.n_spheres // 8) * 8
 
-        def sph_chunk(ci, carry):
-            bt, bid = carry
+        def sph_8(ci, bt, bid):
             for u in range(8):
                 si = ci * 8 + u
                 cx = sph_ref[si, 0]
@@ -175,7 +200,47 @@ def _sweep(cfg: MegaConfig, sph_ref, tri_ref, o: V3, d: V3, nzero):
                 bid = jnp.where(better, si, bid)
             return bt, bid
 
-        bt, bid = jax.lax.fori_loop(0, S8 // 8, sph_chunk, (bt, bid))
+        if cfg.use_cull:
+            # Group = 64 spheres: one scalar branch per 8 sweep chunks keeps
+            # the cull's reduce+branch overhead ~15% of a processed group
+            # (8-sphere granularity measured 2x SLOWER than no cull at all).
+            n_groups = -(-S8 // 64)
+
+            def group(gi, carry):
+                bt, bid = carry
+                cx = bnd_ref[gi, 0]
+                cy = bnd_ref[gi, 1]
+                cz = bnd_ref[gi, 2]
+                kb = bnd_ref[gi, 4]
+                dc = cx * d.x + cy * d.y + cz * d.z
+                oc = cx * o.x + cy * o.y + cz * o.z
+                h = ddo - dc
+                c2 = osq - 2.0 * oc + kb
+                disc = h * h - a * c2
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t_enter = (-h - sq) * inv_a
+                t_exit = (-h + sq) * inv_a
+                need = (active & (disc >= 0.0) & (t_exit > T_MIN)
+                        & (t_enter < bt))
+
+                def run(c):
+                    bt, bid = c
+                    def chunk8(ci, cc):
+                        return sph_8(ci, *cc)
+                    return jax.lax.fori_loop(
+                        gi * 8, jnp.minimum(gi * 8 + 8, S8 // 8),
+                        chunk8, (bt, bid))
+
+                return jax.lax.cond(
+                    jnp.sum(need.astype(jnp.int32)) > 0,
+                    run, lambda c: c, (bt, bid))
+
+            bt, bid = jax.lax.fori_loop(0, n_groups, group, (bt, bid))
+        else:
+            def sph_chunk(ci, carry):
+                return sph_8(ci, *carry)
+
+            bt, bid = jax.lax.fori_loop(0, S8 // 8, sph_chunk, (bt, bid))
 
     if cfg.n_tris:
         T8 = -(-cfg.n_tris // 8) * 8
@@ -283,185 +348,241 @@ _SLOT_TRIN = 49      # tri n0, dn1, dn2 (9)
 _SHADE_SLOTS = tuple(range(28))
 
 
-def _rows_needed(cfg: MegaConfig):
-    need = set(_SHADE_SLOTS)
-    if cfg.n_spheres:
-        need.update(range(_SLOT_W2O, _SLOT_W2O + 12))
-        need.update(range(_SLOT_C, _SLOT_C + 3))
-        need.add(_SLOT_R)
-    if cfg.n_tris:
-        need.update(range(_SLOT_TRIN, _SLOT_TRIN + 9))
+def _fetch_layout(cfg: MegaConfig):
+    """(shading slots, geometry slots) fetched per hit.
+
+    Shading constants tolerate one bf16 matmul pass (<=2e-3 relative:
+    albedo/fuzz tints, checker scales; inst/mat ids are small ints, exact
+    in bf16).  GEOMETRY (w2o, sphere center/radius, triangle normals) does
+    not — a 2e-3 center error is ~6 deg of normal tilt on a 0.2-radius
+    sphere — so those rows ride as exact hi/lo bf16 pairs (~16-bit
+    mantissa, 0.05 deg).  Everything still fits ONE default-precision
+    one-hot matmul."""
+    shade = {0, 1, 2, 3, 4, 5, 6, 7, 11, 12}
+    if cfg.flags.has_emissive:
+        shade.update({8, 9, 10, 15, 16})
+    if cfg.flags.has_checker:
+        shade.update(range(17, 28))
     if cfg.has_lights:
-        need.add(_SLOT_INST)
-    return tuple(sorted(need))
+        shade.add(_SLOT_INST)
+    geo = set()
+    if cfg.n_spheres:
+        geo.update(range(_SLOT_W2O, _SLOT_W2O + 12))
+        geo.update(range(_SLOT_C, _SLOT_C + 3))
+        geo.add(_SLOT_R)
+    if cfg.n_tris:
+        geo.update(range(_SLOT_TRIN, _SLOT_TRIN + 9))
+    return tuple(sorted(shade)), tuple(sorted(geo))
 
 
-def _mega_kernel(cam_ref, prm_ref, sph_ref, tri_ref, rowsT_ref, o2w_ref,
-                 light_ref, rx_ref, ry_ref, rz_ref, tr_ref, *,
-                 cfg: MegaConfig):
+def _rowsT_m8(cfg: MegaConfig) -> int:
+    shade, geo = _fetch_layout(cfg)
+    m = len(shade) + 2 * len(geo)
+    return -(-m // 8) * 8
+
+
+def _mega_kernel(cam_ref, prm_ref, sph_ref, bnd_ref, tri_ref, rowsT_ref,
+                 o2w_ref, light_ref, pix_ref, rx_ref, ry_ref, rz_ref,
+                 tr_ref, *, cfg: MegaConfig):
+    """Persistent-lane path tracer: one lane owns ONE PIXEL and traces its
+    spp_local samples sequentially, regenerating a fresh camera ray the
+    moment a sample terminates (miss / absorb / depth exhausted).
+
+    This is the divergence fix: a naive one-ray-per-lane cell iterates
+    until its LAST ray dies (measured 6.3x waste at depth 50), while
+    regeneration bounds the idle tail to the final sample per lane and
+    cost-sorted pixel assignment makes cells depth-homogeneous.
+    Outputs are per-lane radiance SUMS over the lane's samples, in
+    pix_ref order (the caller scatters them back to image order).
+    """
     from . import shading
 
-    cell = pl.program_id(0)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
-    gid = cell * CELL + sub * 128 + lane                # tile-local ray id
+    # Lane -> pixel assignment comes from a table so the host can sort
+    # pixels by expected cost (previous batch's bounce count): a cell's
+    # runtime is its WORST lane, so cost-homogeneous cells kill the
+    # divergence tail.  Entries >= n_pix are padding (lane starts done).
+    pix = pix_ref[:]                                    # (8,128) int32
 
-    spp_l = cfg.spp_local
+    # A lane's sample stream spans n_batches consecutive batches when the
+    # scene is static: the divergence tail then amortizes over the whole
+    # chunk instead of per batch.
+    K = cfg.spp_local * cfg.n_batches
     sample_base = prm_ref[0, 7].astype(jnp.int32)
     row0 = prm_ref[0, 1].astype(jnp.int32)
-    s = gid % spp_l + sample_base
-    pix = gid // spp_l
+    batch0 = prm_ref[0, 0].astype(jnp.int32)
     px = pix % cfg.width
     py = row0 + pix // cfg.width
-
-    batch = prm_ref[0, 0].astype(jnp.int32)
-    state = rng.init_rng(batch.astype(jnp.uint32), s.astype(jnp.uint32),
-                         py.astype(jnp.uint32), px.astype(jnp.uint32),
-                         cfg.width, cfg.height, cfg.spp)
-
-    si = s % cfg.sqrt_spp
-    sj = s // cfg.sqrt_spp
     cam = _CamRef(cam_ref, prm_ref[0, 5], prm_ref[0, 6])
-    state, ray_o, ray_d = cam_ops.get_rays_v3(
-        state, cam, px, py, si, sj, cfg.width, cfg.height, cfg.sqrt_spp,
-        use_dof=cfg.use_dof,
-    )
 
+    def raygen(samp):
+        """Seed + camera ray for this lane's sample `samp` (identical math
+        and RNG stream to engine.wavefront.render_tile raygen)."""
+        batch = batch0 + samp // cfg.spp_local
+        s = samp % cfg.spp_local + sample_base
+        st = rng.init_rng(batch.astype(jnp.uint32), s.astype(jnp.uint32),
+                          py.astype(jnp.uint32), px.astype(jnp.uint32),
+                          cfg.width, cfg.height, cfg.spp)
+        si = s % cfg.sqrt_spp
+        sj = s // cfg.sqrt_spp
+        return cam_ops.get_rays_v3(
+            st, cam, px, py, si, sj, cfg.width, cfg.height, cfg.sqrt_spp,
+            use_dof=cfg.use_dof,
+        )
+
+    state, ray_o, ray_d = raygen(jnp.zeros_like(pix))
     nzero = ray_d.x * 0.0
     bg = V3(nzero + prm_ref[0, 2], nzero + prm_ref[0, 3], nzero + prm_ref[0, 4])
     lcount = prm_ref[0, 8]
     larea = prm_ref[0, 9]
+    layout = _fetch_layout(cfg)
 
-    rows_needed = _rows_needed(cfg)
+    # Padding lanes (pixel beyond the tile) start finished.
+    samp0 = jnp.where(pix < cfg.n_pix, 0, K) + pix * 0
+    depth0 = (nzero + cfg.max_depth).astype(jnp.int32)
 
-    def bounce(_, carry):
-        def body(args):
-            (state, ray_o, ray_d, thr, acc, alive, traced) = args
-            traced = traced + alive.astype(jnp.float32)
+    def body(carry):
+        (state, ray_o, ray_d, thr, acc, psum, samp, depth, traced) = carry
+        active = samp < K
+        traced = traced + active.astype(jnp.float32)
 
-            bt, prim, is_sphere, bu, bv, tp = _sweep(
-                cfg, sph_ref, tri_ref, ray_o, ray_d, nzero)
-            missed = bt >= T_MAX
-            hit_gate = alive & ~missed
-            acc = vec3.where(alive & missed, acc + thr * bg, acc)
-            alive2 = hit_gate
+        bt, prim, is_sphere, bu, bv, tp = _sweep(
+            cfg, sph_ref, bnd_ref, tri_ref, ray_o, ray_d, active, nzero)
+        missed = bt >= T_MAX
+        acc = vec3.where(active & missed, acc + thr * bg, acc)
+        hit = active & ~missed
 
-            slots = _fetch_rows(rowsT_ref, jnp.maximum(prim, 0),
-                                cfg.P, rows_needed)
-            rows = _RowsT(slots)
+        slots = _fetch_rows(rowsT_ref, jnp.maximum(prim, 0),
+                            cfg.P, layout)
+        rows = _RowsT(slots)
 
-            # --- hit reconstruction (wavefront.reconstruct_hit, fat path)
-            sp = ray_o + bt * ray_d
-            if cfg.n_spheres and cfg.n_tris:
-                hp = vec3.where(is_sphere, sp, tp)
-            elif cfg.n_spheres:
-                hp = sp
-            else:
-                hp = tp
-            if cfg.n_spheres:
-                m_cols = tuple(slots[_SLOT_W2O + i] for i in range(12))
-                c = V3(slots[_SLOT_C], slots[_SLOT_C + 1], slots[_SLOT_C + 2])
-                r = slots[_SLOT_R]
-                p_obj = vec3.mat34_apply_point(m_cols, sp)
-                inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
-                n_obj = V3((p_obj.x - c.x) * inv_r, (p_obj.y - c.y) * inv_r,
-                           (p_obj.z - c.z) * inv_r)
-                sn = vec3.mat34_apply_transposed_vec(m_cols, n_obj)
-            if cfg.n_tris:
-                tn = V3(
-                    slots[_SLOT_TRIN + 0] + bu * slots[_SLOT_TRIN + 3]
-                    + bv * slots[_SLOT_TRIN + 6],
-                    slots[_SLOT_TRIN + 1] + bu * slots[_SLOT_TRIN + 4]
-                    + bv * slots[_SLOT_TRIN + 7],
-                    slots[_SLOT_TRIN + 2] + bu * slots[_SLOT_TRIN + 5]
-                    + bv * slots[_SLOT_TRIN + 8],
-                )
-            if cfg.n_spheres and cfg.n_tris:
-                n = vec3.where(is_sphere, sn, tn)
-            elif cfg.n_spheres:
-                n = sn
-            else:
-                n = tn
-            n = vec3.normalize(n)
-            front = vec3.dot(ray_d, n) < 0.0
-            normal = vec3.where(front, n, -n)
-
-            # u/v only feed image textures (excluded from the megakernel).
-            state2, srec, emit = shading.scatter_and_emit_v3(
-                state, None, cfg.flags, rows, hp, normal, front,
-                nzero, nzero, ray_d,
+        # --- hit reconstruction (wavefront.reconstruct_hit, fat path)
+        sp = ray_o + bt * ray_d
+        if cfg.n_spheres and cfg.n_tris:
+            hp = vec3.where(is_sphere, sp, tp)
+        elif cfg.n_spheres:
+            hp = sp
+        else:
+            hp = tp
+        if cfg.n_spheres:
+            m_cols = tuple(slots[_SLOT_W2O + i] for i in range(12))
+            c = V3(slots[_SLOT_C], slots[_SLOT_C + 1], slots[_SLOT_C + 2])
+            r = slots[_SLOT_R]
+            p_obj = vec3.mat34_apply_point(m_cols, sp)
+            inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
+            n_obj = V3((p_obj.x - c.x) * inv_r, (p_obj.y - c.y) * inv_r,
+                       (p_obj.z - c.z) * inv_r)
+            sn = vec3.mat34_apply_transposed_vec(m_cols, n_obj)
+        if cfg.n_tris:
+            tn = V3(
+                slots[_SLOT_TRIN + 0] + bu * slots[_SLOT_TRIN + 3]
+                + bv * slots[_SLOT_TRIN + 6],
+                slots[_SLOT_TRIN + 1] + bu * slots[_SLOT_TRIN + 4]
+                + bv * slots[_SLOT_TRIN + 7],
+                slots[_SLOT_TRIN + 2] + bu * slots[_SLOT_TRIN + 5]
+                + bv * slots[_SLOT_TRIN + 8],
             )
-            acc = vec3.where(alive2, acc + thr * emit, acc)
-            alive2 = alive2 & srec.is_scattered
+        if cfg.n_spheres and cfg.n_tris:
+            n = vec3.where(is_sphere, sn, tn)
+        elif cfg.n_spheres:
+            n = sn
+        else:
+            n = tn
+        n = vec3.normalize(n)
+        front = vec3.dot(ray_d, n) < 0.0
+        normal = vec3.where(front, n, -n)
 
-            if cfg.has_lights:
-                inst = slots[_SLOT_INST].astype(jnp.int32)
-                o2w_cols = _o2w_cols_kernel(cfg, o2w_ref, inst, nzero)
-                state2, light = _sample_lights_kernel(
-                    cfg, state2, light_ref, lcount, o2w_cols)
-                state2, chosen = nee.choose_mixture_pdf(
-                    state2, srec.mat_pdf_type, True)
-                state2, sdir = nee.gen_scatter_direction_v3(
-                    state2, chosen, hp, normal, light)
-                scatter_pdf = nee.pdf_value_v3(
-                    srec.mat_pdf_type, sdir, normal, light, larea)
-                light_pdf = nee.pdf_value_v3(
-                    jnp.full_like(chosen, LIGHT_PDF), sdir, normal, light,
-                    larea)
-                pdf_value = 0.5 * light_pdf + 0.5 * scatter_pdf
-                ratio = jnp.where(
-                    pdf_value > 0.0,
-                    scatter_pdf / jnp.where(pdf_value == 0.0, 1.0, pdf_value),
-                    0.0,
-                )
-                mis_thr = thr * srec.attenuation * ratio
-                mis_dir = vec3.normalize(sdir)
-            else:
-                state2, chosen = nee.choose_mixture_pdf(
-                    state2, srec.mat_pdf_type, False)
-                dummy = nee.LightSampleV3(position=V3(nzero, nzero, nzero),
-                                          normal=V3(nzero, nzero, nzero))
-                state2, sdir = nee.gen_scatter_direction_v3(
-                    state2, chosen, hp, normal, dummy)
-                scatter_pdf = nee.pdf_value_v3(
-                    srec.mat_pdf_type, sdir, normal, dummy, nzero + 1.0)
-                ratio = jnp.where(scatter_pdf > 0.0, 1.0, 0.0)
-                mis_thr = thr * srec.attenuation * ratio
-                mis_dir = vec3.normalize(sdir)
+        # u/v only feed image textures (excluded from the megakernel).
+        state2, srec, emit = shading.scatter_and_emit_v3(
+            state, None, cfg.flags, rows, hp, normal, front,
+            nzero, nzero, ray_d,
+        )
+        acc = vec3.where(hit, acc + thr * emit, acc)
+        scattered = hit & srec.is_scattered
 
-            new_thr = vec3.where(srec.skip_pdf, thr * srec.attenuation, mis_thr)
-            new_dir = vec3.where(srec.skip_pdf, srec.skip_dir, mis_dir)
+        if cfg.has_lights:
+            inst = slots[_SLOT_INST].astype(jnp.int32)
+            o2w_cols = _o2w_cols_kernel(cfg, o2w_ref, inst, nzero)
+            state2, light = _sample_lights_kernel(
+                cfg, state2, light_ref, lcount, o2w_cols)
+            state2, chosen = nee.choose_mixture_pdf(
+                state2, srec.mat_pdf_type, True)
+            state2, sdir = nee.gen_scatter_direction_v3(
+                state2, chosen, hp, normal, light)
+            scatter_pdf = nee.pdf_value_v3(
+                srec.mat_pdf_type, sdir, normal, light, larea)
+            light_pdf = nee.pdf_value_v3(
+                jnp.full_like(chosen, LIGHT_PDF), sdir, normal, light,
+                larea)
+            pdf_value = 0.5 * light_pdf + 0.5 * scatter_pdf
+            ratio = jnp.where(
+                pdf_value > 0.0,
+                scatter_pdf / jnp.where(pdf_value == 0.0, 1.0, pdf_value),
+                0.0,
+            )
+            mis_thr = thr * srec.attenuation * ratio
+            mis_dir = vec3.normalize(sdir)
+        else:
+            state2, chosen = nee.choose_mixture_pdf(
+                state2, srec.mat_pdf_type, False)
+            dummy = nee.LightSampleV3(position=V3(nzero, nzero, nzero),
+                                      normal=V3(nzero, nzero, nzero))
+            state2, sdir = nee.gen_scatter_direction_v3(
+                state2, chosen, hp, normal, dummy)
+            scatter_pdf = nee.pdf_value_v3(
+                srec.mat_pdf_type, sdir, normal, dummy, nzero + 1.0)
+            ratio = jnp.where(scatter_pdf > 0.0, 1.0, 0.0)
+            mis_thr = thr * srec.attenuation * ratio
+            mis_dir = vec3.normalize(sdir)
 
-            ray_o = vec3.where(alive2, hp, ray_o)
-            ray_d = vec3.where(alive2, new_dir, ray_d)
-            thr = vec3.where(alive2, new_thr, thr)
-            return (state2, ray_o, ray_d, thr, acc, alive2, traced)
+        new_thr = vec3.where(srec.skip_pdf, thr * srec.attenuation, mis_thr)
+        new_dir = vec3.where(srec.skip_pdf, srec.skip_dir, mis_dir)
 
-        alive = carry[5]
-        n_alive = jnp.sum(alive.astype(jnp.int32))
-        return jax.lax.cond(n_alive > 0, body, lambda a: a, carry)
+        # --- sample bookkeeping + regeneration
+        depth2 = jnp.where(active, depth - 1, depth)
+        sample_over = active & (missed | (hit & ~srec.is_scattered)
+                                | (scattered & (depth2 <= 0)))
+        cont = scattered & (depth2 > 0)
 
-    init = (
-        state, ray_o, ray_d,
-        V3(nzero + 1.0, nzero + 1.0, nzero + 1.0),       # throughput
-        V3(nzero, nzero, nzero),                          # accumulated
-        nzero < 1.0,                                      # alive (all True)
-        nzero,                                            # traced
-    )
-    out = jax.lax.fori_loop(0, cfg.max_depth, bounce, init)
-    acc = out[4]
-    rx_ref[:] = acc.x
-    ry_ref[:] = acc.y
-    rz_ref[:] = acc.z
-    tr_ref[:] = out[6]
+        psum = vec3.where(sample_over, psum + acc, psum)
+        samp2 = jnp.where(sample_over, samp + 1, samp)
+        regen = sample_over & (samp2 < K)
+
+        ray_o = vec3.where(cont, hp, ray_o)
+        ray_d = vec3.where(cont, new_dir, ray_d)
+        thr = vec3.where(cont, new_thr, thr)
+        state = jnp.where(active, state2, state)
+
+        rg_state, rg_o, rg_d = raygen(samp2)
+        state = jnp.where(regen, rg_state, state)
+        ray_o = vec3.where(regen, rg_o, ray_o)
+        ray_d = vec3.where(regen, rg_d, ray_d)
+        one = nzero + 1.0
+        thr = vec3.where(regen, V3(one, one, one), thr)
+        acc = vec3.where(sample_over, V3(nzero, nzero, nzero), acc)
+        depth3 = jnp.where(regen, depth0, depth2)
+
+        return (state, ray_o, ray_d, thr, acc, psum, samp2, depth3, traced)
+
+    def cond(carry):
+        return jnp.sum((carry[6] < K).astype(jnp.int32)) > 0
+
+    one3 = V3(nzero + 1.0, nzero + 1.0, nzero + 1.0)
+    zero3 = V3(nzero, nzero, nzero)
+    init = (state, ray_o, ray_d, one3, zero3, zero3, samp0, depth0, nzero)
+    out = jax.lax.while_loop(cond, body, init)
+    psum = out[5]
+    rx_ref[:] = psum.x
+    ry_ref[:] = psum.y
+    rz_ref[:] = psum.z
+    tr_ref[:] = out[8]
 
 
-def build_mega_tables(static, scene, geom):
+def build_mega_tables(cfg, static, scene, geom):
     """Per-batch device tables for the megakernel (cheap jnp ops, called
     inside prepare; everything is already on device).
 
-    Returns (rowsT [64,P], sph [S8,8], tri [T8,16], o2w [I,12], light [L8,16]).
-    """
+    Returns (rowsT [M,P] compacted to _rows_needed, sph [S8,8],
+    bounds [C,8], tri [T8,16], o2w [I,12], light [L8,16])."""
     prim_rows = geom.prim_rows                       # [P, 64]
     P = prim_rows.shape[0]
     if static.has_tris:
@@ -470,7 +591,16 @@ def build_mega_tables(static, scene, geom):
         T = min(att.shape[0], P - s_pad)
         prim_rows = prim_rows.at[s_pad:s_pad + T, _SLOT_TRIN:_SLOT_TRIN + 9].set(
             att[:T, 0:9])
-    rowsT = prim_rows.T
+    shade, geo = _fetch_layout(cfg)
+    shadeT = prim_rows[:, list(shade)].T
+    geoT = prim_rows[:, list(geo)].T
+    hi = geoT.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = geoT - hi
+    rowsT = jnp.concatenate([shadeT, hi, lo], axis=0)
+    M = rowsT.shape[0]
+    M8 = -(-M // 8) * 8
+    if M8 > M:
+        rowsT = jnp.pad(rowsT, ((0, M8 - M), (0, 0)))
 
     L = scene.light_prob.shape[0]
     L8 = max(8, -(-L // 8) * 8)
@@ -479,7 +609,8 @@ def build_mega_tables(static, scene, geom):
         light = light.at[:L, 0].set(scene.light_prob)
         light = light.at[:L, 1].set(scene.light_alias.astype(jnp.float32))
         light = light.at[:L, 2:11].set(scene.light_tri_packed[:, 0:9])
-    return rowsT, geom.sph_table8, geom.tri_table16, geom.inst_o2w_rows, light
+    return (rowsT, geom.sph_table8, geom.sph_bounds8, geom.tri_table16,
+            geom.inst_o2w_rows, light)
 
 
 @functools.partial(
@@ -487,7 +618,7 @@ def build_mega_tables(static, scene, geom):
     static_argnames=("cfg", "n_cells", "interpret"),
 )
 def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
-                  sph, tri, o2w, light, interpret=False):
+                  sph, bnd, tri, o2w, light, pix_tbl, interpret=False):
     """One pallas_call over n_cells grid cells (n_cells*1024 rays).
 
     Returns (rad V3 of [n_cells*1024], traced [n_cells*1024])."""
@@ -500,11 +631,14 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
             smem(),                                           # cam [8,4]
             smem(),                                           # params [1,16]
             smem(),                                           # spheres [S8,8]
+            smem(),                                           # cluster bounds
             smem(),                                           # tris [T8,16]
-            pl.BlockSpec((64, cfg.P), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),            # rowsT
+            pl.BlockSpec((_rowsT_m8(cfg), cfg.P), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # rowsT (compact)
             smem(),                                           # o2w [I,12]
             smem(),                                           # light [L8,16]
+            pl.BlockSpec((SUB, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # pix table
         ],
         out_specs=[
             pl.BlockSpec((SUB, 128), lambda i: (i, 0),
@@ -516,7 +650,7 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
             for _ in range(4)
         ],
         interpret=interpret,
-    )(cam_tbl, params, sph, tri, rowsT, o2w, light)
+    )(cam_tbl, params, sph, bnd, tri, rowsT, o2w, light, pix_tbl)
     rx, ry, rz, tr = outs
     flat = lambda x: x.reshape(n_cells * CELL)
     return V3(flat(rx), flat(ry), flat(rz)), flat(tr)
@@ -541,6 +675,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         use_dof=bool(use_dof),
         has_lights=bool(static.has_lights),
         flags=static.flags,
+        use_cull=bool(static.num_spheres >= 64) and _os.environ.get("MEGA_CULL", "") == "1",
     )
 
 
@@ -576,18 +711,25 @@ def render_tile_mega(
     sample_base=0,
     reduce_mean: bool = True,
     interpret: bool = False,
+    pix_perm=None,
+    n_batches: int = 1,
 ):
     """Megakernel drop-in for engine.wavefront.render_tile (same contract:
-    (tile [rows, W, 3], rays_traced))."""
+    (tile [rows, W, 3], rays_traced)).
+
+    One kernel lane owns one pixel and renders its spp_local samples
+    sequentially (sample regeneration), so the kernel returns per-pixel
+    radiance sums directly."""
     from ..models.compile import SKY_SOLID, SKY_VERTICAL_GRADIENT
 
     W = static.width
     spp = static.sqrt_spp ** 2
     if spp_local == 0:
         spp_local = spp
+    n_pix = rows_per_tile * W
     cfg = make_config(static, scene, use_dof, spp_local)
-    n_rays = rows_per_tile * W * spp_local
-    n_cells = -(-n_rays // CELL)
+    cfg = dataclasses.replace(cfg, n_pix=n_pix, n_batches=n_batches)
+    n_cells = -(-n_pix // CELL)
 
     cam_tbl = jnp.concatenate([cam.view_inverse, cam.proj_inverse], axis=0)
 
@@ -609,14 +751,41 @@ def render_tile_mega(
     params = params.at[0, 8].set(scene.light_count.astype(jnp.float32))
     params = params.at[0, 9].set(scene.light_total_area)
 
-    rowsT, sph, tri, o2w, light = build_mega_tables(static, scene, geom)
-    rad, traced = mega_dispatch(
-        cfg, n_cells, cam_tbl, params, rowsT, sph, tri, o2w, light,
-        interpret=interpret,
-    )
-    rad = V3(rad.x[:n_rays], rad.y[:n_rays], rad.z[:n_rays])
-    rays_traced = jnp.sum(traced[:n_rays])
+    if pix_perm is not None:
+        # the permutation (e.g. 32x32 spatial tiles) may carry per-tile
+        # padding; size the grid to it
+        n_cells = -(-pix_perm.shape[0] // CELL)
+    n_slots = n_cells * CELL
+    if pix_perm is None:
+        pix_tbl = jax.lax.iota(jnp.int32, n_slots)
+    else:
+        pad = n_slots - pix_perm.shape[0]
+        pix_tbl = jnp.pad(pix_perm.astype(jnp.int32), (0, pad),
+                          constant_values=n_pix)
+    pix_tbl2 = pix_tbl.reshape(n_cells * SUB, 128)
 
-    tile = vec3.to_rows(rad).reshape(rows_per_tile, W, spp_local, 3)
-    tile = tile.mean(axis=2) if reduce_mean else tile.sum(axis=2)
-    return tile, rays_traced
+    rowsT, sph, bnd, tri, o2w, light = build_mega_tables(
+        cfg, static, scene, geom)
+    psum, traced = mega_dispatch(
+        cfg, n_cells, cam_tbl, params, rowsT, sph, bnd, tri, o2w, light,
+        pix_tbl2, interpret=interpret,
+    )
+    rays_traced = jnp.sum(traced)
+
+    if pix_perm is None:
+        flat = vec3.to_rows(
+            V3(psum.x[:n_pix], psum.y[:n_pix], psum.z[:n_pix]))
+        traced_pix = traced[:n_pix]
+    else:
+        # scatter lane results back to image order
+        dest = pix_tbl
+        flat = jnp.zeros((n_pix, 3), jnp.float32)
+        flat = flat.at[dest].set(
+            jnp.stack([psum.x, psum.y, psum.z], axis=-1), mode="drop")
+        traced_pix = jnp.zeros((n_pix,), jnp.float32).at[dest].set(
+            traced, mode="drop")
+
+    tile = flat.reshape(rows_per_tile, W, 3)
+    if reduce_mean:
+        tile = tile / jnp.float32(spp_local * n_batches)
+    return tile, rays_traced, traced_pix

@@ -227,3 +227,42 @@ def sphere_hit_attributes(o, d, t, sph_id, centers, radii, w2o_all, inst_all):
     theta = jnp.arctan2(nn[:, 2], -nn[:, 0])          # in (-pi, pi]
     u = (theta / TWO_PI) % 1.0
     return p_world, n_world, u, v
+
+
+def cluster_bounds_from_table8(table8, group: int = 64):
+    """Conservative bounding spheres over consecutive `group`-sphere
+    clusters of a kernel sweep table ([S8,8]: cx cy cz r k, padding rows
+    k=3e37).
+
+    The megakernel skips a whole cluster when no active lane can hit its
+    bound (ops/megakernel._sweep).  Bounds are inflated by a magnitude-
+    scaled margin so f32 rounding in the bound test can never skip a true
+    hit the per-sphere f32 test would find.  Returns [C,8]: cx cy cz rb kb
+    (kb = |c|^2 - rb^2; empty clusters get kb=3e37, never hit).
+    """
+    import jax.numpy as jnp
+
+    S8 = table8.shape[0]
+    if S8 % group != 0:
+        import jax.numpy as _j
+        pad = group - S8 % group
+        fill = _j.zeros((pad, 8), table8.dtype).at[:, 4].set(3e37)
+        table8 = _j.concatenate([table8, fill], axis=0)
+        S8 = table8.shape[0]
+    C = max(1, S8 // group)
+    g = table8.reshape(C, group, 8)
+    c = g[..., 0:3]
+    r = jnp.abs(g[..., 3])
+    valid = g[..., 4] < 1e37
+    big = jnp.float32(3e37)
+    lo = jnp.min(jnp.where(valid[..., None], c - r[..., None], big), axis=1)
+    hi = jnp.max(jnp.where(valid[..., None], c + r[..., None], -big), axis=1)
+    anyv = valid.any(axis=1)
+    ctr = jnp.where(anyv[..., None], 0.5 * (lo + hi), 0.0)
+    d = jnp.sqrt(((c - ctr[:, None, :]) ** 2).sum(-1)) + r
+    rb = jnp.max(jnp.where(valid, d, 0.0), axis=1)
+    rb = rb + 1e-3 + 1e-3 * (jnp.abs(ctr).max(-1) + rb)
+    kb = (ctr ** 2).sum(-1) - rb * rb
+    kb = jnp.where(anyv, kb, big)
+    out = jnp.zeros((C, 8), jnp.float32)
+    return out.at[:, 0:3].set(ctr).at[:, 3].set(rb).at[:, 4].set(kb)

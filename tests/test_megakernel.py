@@ -57,10 +57,11 @@ def _compare(name, **kw):
         static, scene, cam, trace_fn, geom,
         jnp.int32(0), jnp.int32(0), H, use_dof,
     )
-    got, rays_got = render_tile_mega(
+    got, rays_got, traced_pix = render_tile_mega(
         static, scene, geom, cam,
         jnp.int32(0), jnp.int32(0), H, use_dof, interpret=True,
     )
+    assert float(jnp.sum(traced_pix)) == float(rays_got)
     return np.asarray(ref), np.asarray(got), float(rays_ref), float(rays_got)
 
 
@@ -126,3 +127,30 @@ def test_renderer_integration():
     assert np.isfinite(img_mega).all()
     # XLA sweep vs interpret-kernel sweep agree to FP noise.
     assert np.abs(img_ref - img_mega).max() < 1e-4
+
+
+def test_fused_multibatch_chunk():
+    """render_batches(k) fuses k batches into one kernel call on static
+    scenes; the result must match per-batch stepping (same samples, same
+    seeds — only the accumulation FP order differs)."""
+    from raytrace_tpu.engine.renderer import Renderer
+
+    sf = SceneFile.load_json(reference_asset("diffuse-spheres.json"))
+    sf.render.samples_per_pixel = 4
+    sf.render.sample_batches = 3
+    sf.render.max_ray_depth = 6
+    cs = compile_scene(sf, width=48, height=27)
+
+    r_seq = Renderer(cs, use_pallas_sweep=True)
+    assert r_seq.static.use_megakernel
+    while r_seq.render_next_batch():
+        pass
+
+    r_fused = Renderer(cs, use_pallas_sweep=True)
+    assert r_fused.render_batches(3) == 3
+    assert r_fused.current_batch == 3
+
+    a = r_seq.image()
+    b = r_fused.image()
+    assert np.abs(a - b).max() < 1e-5
+    assert abs(r_seq.stats.rays_traced - r_fused.stats.rays_traced) < 1.0
