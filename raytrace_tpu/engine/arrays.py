@@ -112,6 +112,9 @@ class SceneStatic:
     # whole-bounce-loop fused kernel (ops/megakernel.py); implies the
     # pallas-sweep preconditions and megakernel_supported()
     use_megakernel: bool = False
+    # sphere-block split for the selective sweep (models/sphere_order.py):
+    # [0, sph_prefix) dense "global" spheres, rest Morton-clustered
+    sph_prefix: int = 0
 
 
 def upload_scene(cs: CompiledScene, bvh=None, sharding=None):
@@ -187,5 +190,6 @@ def upload_scene(cs: CompiledScene, bvh=None, sharding=None):
         bvh_stack_depth=int(bvh.depth + 2) if bvh is not None else 0,
         bvh_root=int(bvh.root) if bvh is not None else 0,
         use_fat_shading=cs.shade_rows is not None,
+        sph_prefix=int(getattr(cs, "sph_prefix", 0)),
     )
     return arrays, static

@@ -91,7 +91,7 @@ def _cached_mega_chunk(static, use_dof: bool, k: int):
                 static, scene, times[0],
                 sph_table=sph_tabs[0] if static.sphere_world_mode else None,
             )
-            sum_tiles, tr, _traced = render_tile_mega(
+            sum_tiles, tr, traced_pix, _it = render_tile_mega(
                 static, scene, geom, cam, batch0, jnp.int32(0),
                 static.height, use_dof, reduce_mean=False,
                 interpret=static.pallas_interpret, pix_perm=pix_perm,
@@ -100,7 +100,7 @@ def _cached_mega_chunk(static, use_dof: bool, k: int):
             spp = static.sqrt_spp ** 2
             b0 = batch0.astype(jnp.float32)
             accum = (b0 * accum + sum_tiles / spp) / (b0 + k)
-            return accum, jnp.full((k,), tr / k, jnp.float32)
+            return accum, jnp.full((k,), tr / k, jnp.float32), traced_pix
 
         def step(carry, inp):
             accum = carry
@@ -109,18 +109,18 @@ def _cached_mega_chunk(static, use_dof: bool, k: int):
                 static, scene, t,
                 sph_table=tab if static.sphere_world_mode else None,
             )
-            tile, tr, _traced = render_tile_mega(
+            tile, tr, _traced, _it = render_tile_mega(
                 static, scene, geom, cam, bi, jnp.int32(0), static.height,
                 use_dof, interpret=static.pallas_interpret, pix_perm=pix_perm,
             )
             bf = bi.astype(jnp.float32)
             accum = (bf * accum + tile) / (bf + 1.0)
-            return accum, tr
+            return accum, (tr, _traced)
 
         bids = batch0 + jnp.arange(k, dtype=jnp.int32)
-        accum, trs = jax.lax.scan(
+        accum, (trs, traced) = jax.lax.scan(
             step, accum, (times, sph_tabs, bids))
-        return accum, trs
+        return accum, trs, jnp.sum(traced, axis=0)
 
     return jax.jit(chunk)
 
@@ -139,6 +139,23 @@ def _cached_mega_step(static, use_dof: bool):
         )
 
     return jax.jit(step)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _cost_sorted_perm(traced_pix, n_slots: int):
+    """Lane->pixel assignment grouping equal-cost pixels into cells.
+
+    A cell runs until its SLOWEST lane finishes, so cost-homogeneous
+    cells are the divergence-tail fix; the cost signal is the previous
+    chunk's exact per-pixel traced-ray count.  Padding slots sort last
+    (dead lanes share cells)."""
+    order = jnp.argsort(-traced_pix).astype(jnp.int32)
+    n_pix = order.shape[0]
+    pad = n_slots - n_pix
+    if pad > 0:
+        order = jnp.concatenate(
+            [order, jnp.full((pad,), n_pix, jnp.int32)])
+    return order
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
@@ -265,6 +282,7 @@ class Renderer:
         # cost-sorted pixel permutation (divergence tail fix).
         self._mega_step = None
         self._pix_perm = None
+        self._cost_perm = None
         self._use_dof = use_dof
         if self.static.use_megakernel:
             self._mega_step = _cached_mega_step(self.static, use_dof)
@@ -335,9 +353,11 @@ class Renderer:
         md = (None if self.max_depth == self.static.max_ray_depth
               else jnp.int32(self.max_depth))
         if self._mega_step is not None and md is None:
-            tile, tr, _traced = self._mega_step(
+            tile, tr, _traced, _it = self._mega_step(
                 self.scene, geom, self.camera,
-                jnp.int32(self.current_batch), self._pix_perm,
+                jnp.int32(self.current_batch),
+                self._cost_perm if self._cost_perm is not None
+                else self._pix_perm,
             )
             tiles, ray_counts = [tile], [tr]
         else:
@@ -379,12 +399,15 @@ class Renderer:
         t0 = _time.perf_counter()
         cur = self.current_batch
         chunk_fn = _cached_mega_chunk(self.static, self._use_dof, k)
-        accum, trs = chunk_fn(
-            self.scene, self.camera, self.accum, self._pix_perm,
+        perm = self._cost_perm if self._cost_perm is not None else self._pix_perm
+        accum, trs, traced_pix = chunk_fn(
+            self.scene, self.camera, self.accum, perm,
             jnp.int32(cur), self._times_dev[cur:cur + k],
             self._sph_tables_dev[cur:cur + k],
         )
         self.accum = accum
+        # Next chunk's lanes are grouped by this chunk's measured pixel cost.
+        self._cost_perm = _cost_sorted_perm(traced_pix, int(perm.shape[0]))
         trs = np.asarray(trs)  # blocks until the chunk finishes
         dt = _time.perf_counter() - t0
         for i in range(k):

@@ -592,7 +592,7 @@ def render_tile(
     if static.use_megakernel and max_depth is None:
         from ..ops.megakernel import render_tile_mega
 
-        tile, rays, _ = render_tile_mega(
+        tile, rays, _tp, _it = render_tile_mega(
             static, scene, geom, cam, sample_batch, row0, rows_per_tile,
             use_dof, spp_local=spp_local, sample_base=sample_base,
             reduce_mean=reduce_mean, interpret=static.pallas_interpret,

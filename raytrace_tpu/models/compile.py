@@ -189,6 +189,12 @@ class CompiledScene:
     # graph doesn't fit the fat-row encoding (fallback to registry path).
     shade_rows: Optional[np.ndarray] = None  # [S_pad + T_pad, 32]
 
+    # --- sphere-block layout (models/sphere_order.py) ---
+    # First sph_prefix spheres are "global" (swept densely); the rest are
+    # Morton-ordered so consecutive 8/16-sphere clusters are spatially tight
+    # for the megakernel's selective sweep.  0 = unordered.
+    sph_prefix: int = 0
+
 
 def _resolve_texture_registries(scene: SceneFile):
     """Build texture registries in scene-file order and a name resolver.
@@ -551,7 +557,7 @@ def compile_scene(scene: SceneFile, width: Optional[int] = None,
             return a
         return np.zeros((1,) + tuple(shape_tail), a.dtype)
 
-    return CompiledScene(
+    cs = CompiledScene(
         tri_p=tri_p, tri_n=tri_n, tri_uv=tri_uv,
         tri_inst=tri_inst, tri_mat_type=tri_mt, tri_mat_index=tri_mi,
         num_triangles=num_tris,
@@ -581,3 +587,10 @@ def compile_scene(scene: SceneFile, width: Optional[int] = None,
         mesh_tri_offsets=np.asarray(soup_offsets, np.int64),
         shade_rows=shade_rows,
     )
+
+    # Spatial sphere ordering for the megakernel's selective sweep
+    # (image-invariant: sphere ids are internal).
+    from .sphere_order import apply_sphere_order
+
+    apply_sphere_order(cs)
+    return cs

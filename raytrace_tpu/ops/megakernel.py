@@ -110,7 +110,15 @@ class MegaConfig:
     n_pix: int = 0      # pixels in this tile (rows_per_tile * width)
     n_batches: int = 1  # sample batches fused into one lane sample stream
                         # (static scenes only: geometry identical per batch)
-    use_cull: bool = False   # cluster-culled sphere sweep (spheres >= 64)
+    # Cluster-selective sphere sweep (sub-linear in scene size): spheres
+    # [0, n_prefix) are "global" and swept densely; the rest are Morton-
+    # ordered clusters of clu_g spheres traversed per lane nearest-first
+    # (models/sphere_order.py).  n_clusters_pad = one-hot matmul lane pad.
+    use_sel: bool = False
+    n_prefix: int = 0
+    clu_g: int = 8
+    n_clusters: int = 0
+    n_clusters_pad: int = 128
     sky_is_gradient: bool = False
 
 
@@ -146,15 +154,155 @@ def _fetch_rows(rowsT_ref, prim, P: int, layout):
     return slots
 
 
-def _sweep(cfg: MegaConfig, sph_ref, bnd_ref, tri_ref, o: V3, d: V3,
-           active, nzero):
+BIGF = 3.0e37  # "never": beyond any t / k (python float: kernel-immediate)
+
+
+def _split3(x):
+    """Lossless f32 -> 3 bf16-exact f32 terms (truncation split).
+
+    hi/mid keep the top 16 bits of the f32 pattern (exactly bf16-
+    representable); the <=8-bit remainders are bf16-exact too, so a single
+    DEFAULT-precision one-hot matmul over [hi; mid; lo] reconstructs the
+    original f32 bit-for-bit (products vs exact 0/1, f32 accumulation)."""
+    mask = jnp.uint32(0xFFFF0000)
+    bc = lambda v, t: jax.lax.bitcast_convert_type(v, t)
+    hi = bc(bc(x, jnp.uint32) & mask, jnp.float32)
+    r1 = x - hi
+    mid = bc(bc(r1, jnp.uint32) & mask, jnp.float32)
+    lo = r1 - mid
+    return hi, mid, lo
+
+
+def _sweep_selective(cfg: MegaConfig, bnd_ref, clu_ref, o: V3,
+                     d: V3, active, nzero, a, inv_a, ddo, osq, bt, bid):
+    """Per-lane cluster traversal of the Morton-ordered sphere section —
+    the TPU shape of BVH traversal (no gathers):
+
+    1. pretest: every lane slab-tests all C cluster AABBs (vector math
+       from SMEM scalars, ~27 ops each) against its current best t (the
+       dense prefix has usually already set bt from the ground sphere),
+       building a per-lane candidate BITMASK (C <= 64 -> two int32s);
+    2. rounds: each pending lane pops its lowest set bit (b = m & -m,
+       index via popcount(b-1) — ~10 ops), the cluster's clu_g spheres
+       are fetched with ONE one-hot MXU matmul ([3*G*4, Cp] @ [Cp, 1024],
+       exact f32 via _split3) and tested;
+    3. the cell stops when every lane's mask is empty.
+
+    Ascending cluster order = ascending sphere id, so hit ties resolve
+    exactly as the dense sweep's.  Sub-linear: a bounce ray's corridor
+    crosses only a few tight boxes, so rounds ~ 2-6 instead of S/8 dense
+    chunks."""
+    C = cfg.n_clusters
+    Cp = cfg.n_clusters_pad
+    G = cfg.clu_g
+    V = G * 4
+    n_words = -(-C // 32)
+
+    eps = 1e-12
+    sd = lambda v: jnp.where(v < 0.0, -1.0, 1.0)
+    ivx = 1.0 / jnp.where(jnp.abs(d.x) < eps, sd(d.x) * eps, d.x)
+    ivy = 1.0 / jnp.where(jnp.abs(d.y) < eps, sd(d.y) * eps, d.y)
+    ivz = 1.0 / jnp.where(jnp.abs(d.z) < eps, sd(d.z) * eps, d.z)
+
+    izero = nzero.astype(jnp.int32)
+    masks = [izero] * n_words
+    for c in range(C):
+        a0 = (bnd_ref[c, 0] - o.x) * ivx
+        a1 = (bnd_ref[c, 3] - o.x) * ivx
+        b0 = (bnd_ref[c, 1] - o.y) * ivy
+        b1 = (bnd_ref[c, 4] - o.y) * ivy
+        c0 = (bnd_ref[c, 2] - o.z) * ivz
+        c1 = (bnd_ref[c, 5] - o.z) * ivz
+        te = jnp.maximum(jnp.maximum(jnp.minimum(a0, a1),
+                                     jnp.minimum(b0, b1)),
+                         jnp.minimum(c0, c1))
+        tx = jnp.minimum(jnp.minimum(jnp.maximum(a0, a1),
+                                     jnp.maximum(b0, b1)),
+                         jnp.maximum(c0, c1))
+        plaus = active & (te <= tx) & (tx > T_MIN) & (te < bt)
+        w, bit = divmod(c, 32)
+        masks[w] = masks[w] | jnp.where(plaus, jnp.int32(1 << bit)
+                                        if bit < 31 else jnp.int32(-2**31),
+                                        0)
+
+    def any_pending(ms):
+        acc = ms[0]
+        for w in range(1, n_words):
+            acc = acc | ms[w]
+        return jnp.sum((acc != 0).astype(jnp.int32)) > 0
+
+    def rcond(carry):
+        bt, bid, *ms = carry
+        return any_pending(ms)
+
+    def rbody(carry):
+        bt, bid, *ms = carry
+        # lowest set bit across words -> cluster index + updated masks
+        ci = izero
+        taken = izero == 1  # all-false
+        new_ms = []
+        for w in range(n_words):
+            m = ms[w]
+            has = (m != 0) & ~taken
+            b = m & -m
+            idx = jax.lax.population_count(b - 1) + (32 * w)
+            ci = jnp.where(has, idx, ci)
+            new_ms.append(jnp.where(has, m ^ b, m))
+            taken = taken | has
+        pending = taken
+
+        # one-hot fetch of the per-lane cluster's G spheres (4 fields)
+        io = jax.lax.broadcasted_iota(jnp.int32, (Cp, 128), 0)
+        oh = jnp.concatenate(
+            [(io == ci[k:k + 1, :]).astype(jnp.float32) for k in range(SUB)],
+            axis=1,
+        )                                                       # [Cp, 1024]
+        out = jax.lax.dot_general(
+            clu_ref[:], oh, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)                 # [3V, 1024]
+        summed = out[0:V] + out[V:2 * V] + out[2 * V:3 * V]     # exact f32
+
+        def val(v):
+            return jnp.concatenate(
+                [summed[v:v + 1, k * 128:(k + 1) * 128] for k in range(SUB)],
+                axis=0)
+
+        base = cfg.n_prefix + ci * G
+        for s in range(G):
+            cx = val(s * 4 + 0)
+            cy = val(s * 4 + 1)
+            cz = val(s * 4 + 2)
+            k = val(s * 4 + 3)
+            dc = cx * d.x + cy * d.y + cz * d.z
+            oc = cx * o.x + cy * o.y + cz * o.z
+            h = ddo - dc
+            c2 = osq - 2.0 * oc + k
+            disc = h * h - a * c2
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (-h - sq) * inv_a
+            t2 = (-h + sq) * inv_a
+            ok = disc >= 0.0
+            t = jnp.where(ok & (t1 > T_MIN) & (t1 < T_MAX), t1,
+                          jnp.where(ok & (t2 > T_MIN) & (t2 < T_MAX),
+                                    t2, T_MAX))
+            better = pending & (t < bt)
+            bt = jnp.where(better, t, bt)
+            bid = jnp.where(better, base + s, bid)
+
+        return tuple([bt, bid] + new_ms)
+
+    out = jax.lax.while_loop(rcond, rbody, tuple([bt, bid] + masks))
+    return out[0], out[1]
+
+
+def _sweep(cfg: MegaConfig, sph_ref, bnd_ref, clu_ref, tri_ref,
+           o: V3, d: V3, active, nzero):
     """Closest hit: scalar-loop sweep over SMEM tables, unrolled x8.
 
-    With use_cull, spheres are swept in clusters of 8 behind a conservative
-    bounding-sphere pre-test: a cluster is skipped when NO active lane can
-    hit it closer than its current best t.  This prunes (a) clusters
-    outside a coherent pixel tile's frustum and (b) nearly-dead tail
-    iterations where only a few lanes are still tracing.
+    With use_sel, only the n_prefix "global" spheres are swept densely;
+    the remaining Morton-clustered spheres go through _sweep_selective
+    (per-lane nearest-first cluster traversal — sub-linear in S).
 
     Returns (t, prim, is_sphere, bu, bv, tri_p) matching
     engine.wavefront.RawHit conventions (prim = sphere id | s_pad + tri)."""
@@ -200,42 +348,17 @@ def _sweep(cfg: MegaConfig, sph_ref, bnd_ref, tri_ref, o: V3, d: V3,
                 bid = jnp.where(better, si, bid)
             return bt, bid
 
-        if cfg.use_cull:
-            # Group = 64 spheres: one scalar branch per 8 sweep chunks keeps
-            # the cull's reduce+branch overhead ~15% of a processed group
-            # (8-sphere granularity measured 2x SLOWER than no cull at all).
-            n_groups = -(-S8 // 64)
-
-            def group(gi, carry):
-                bt, bid = carry
-                cx = bnd_ref[gi, 0]
-                cy = bnd_ref[gi, 1]
-                cz = bnd_ref[gi, 2]
-                kb = bnd_ref[gi, 4]
-                dc = cx * d.x + cy * d.y + cz * d.z
-                oc = cx * o.x + cy * o.y + cz * o.z
-                h = ddo - dc
-                c2 = osq - 2.0 * oc + kb
-                disc = h * h - a * c2
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                t_enter = (-h - sq) * inv_a
-                t_exit = (-h + sq) * inv_a
-                need = (active & (disc >= 0.0) & (t_exit > T_MIN)
-                        & (t_enter < bt))
-
-                def run(c):
-                    bt, bid = c
-                    def chunk8(ci, cc):
-                        return sph_8(ci, *cc)
-                    return jax.lax.fori_loop(
-                        gi * 8, jnp.minimum(gi * 8 + 8, S8 // 8),
-                        chunk8, (bt, bid))
-
-                return jax.lax.cond(
-                    jnp.sum(need.astype(jnp.int32)) > 0,
-                    run, lambda c: c, (bt, bid))
-
-            bt, bid = jax.lax.fori_loop(0, n_groups, group, (bt, bid))
+        if cfg.use_sel:
+            # Dense "global" prefix (ground/hero-scale spheres); chunks may
+            # overlap into the clustered section — harmless (min is
+            # idempotent), it just re-tests a few spheres.
+            n_pref8 = min(-(-cfg.n_prefix // 8), S8 // 8)
+            def sph_chunk(ci, carry):
+                return sph_8(ci, *carry)
+            bt, bid = jax.lax.fori_loop(0, n_pref8, sph_chunk, (bt, bid))
+            bt, bid = _sweep_selective(
+                cfg, bnd_ref, clu_ref, o, d, active, nzero,
+                a, inv_a, ddo, osq, bt, bid)
         else:
             def sph_chunk(ci, carry):
                 return sph_8(ci, *carry)
@@ -381,9 +504,9 @@ def _rowsT_m8(cfg: MegaConfig) -> int:
     return -(-m // 8) * 8
 
 
-def _mega_kernel(cam_ref, prm_ref, sph_ref, bnd_ref, tri_ref, rowsT_ref,
-                 o2w_ref, light_ref, pix_ref, rx_ref, ry_ref, rz_ref,
-                 tr_ref, *, cfg: MegaConfig):
+def _mega_kernel(cam_ref, prm_ref, sph_ref, bnd_ref, clu_ref, tri_ref,
+                 rowsT_ref, o2w_ref, light_ref, pix_ref, rx_ref, ry_ref,
+                 rz_ref, tr_ref, it_ref, *, cfg: MegaConfig):
     """Persistent-lane path tracer: one lane owns ONE PIXEL and traces its
     spp_local samples sequentially, regenerating a fresh camera ray the
     moment a sample terminates (miss / absorb / depth exhausted).
@@ -441,12 +564,15 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, bnd_ref, tri_ref, rowsT_ref,
     depth0 = (nzero + cfg.max_depth).astype(jnp.int32)
 
     def body(carry):
-        (state, ray_o, ray_d, thr, acc, psum, samp, depth, traced) = carry
+        (state, ray_o, ray_d, thr, acc, psum, samp, depth, traced,
+         iters) = carry
         active = samp < K
         traced = traced + active.astype(jnp.float32)
+        iters = iters + 1.0
 
         bt, prim, is_sphere, bu, bv, tp = _sweep(
-            cfg, sph_ref, bnd_ref, tri_ref, ray_o, ray_d, active, nzero)
+            cfg, sph_ref, bnd_ref, clu_ref, tri_ref, ray_o, ray_d,
+            active, nzero)
         missed = bt >= T_MAX
         acc = vec3.where(active & missed, acc + thr * bg, acc)
         hit = active & ~missed
@@ -561,20 +687,66 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, bnd_ref, tri_ref, rowsT_ref,
         acc = vec3.where(sample_over, V3(nzero, nzero, nzero), acc)
         depth3 = jnp.where(regen, depth0, depth2)
 
-        return (state, ray_o, ray_d, thr, acc, psum, samp2, depth3, traced)
+        return (state, ray_o, ray_d, thr, acc, psum, samp2, depth3, traced,
+                iters)
 
     def cond(carry):
         return jnp.sum((carry[6] < K).astype(jnp.int32)) > 0
 
     one3 = V3(nzero + 1.0, nzero + 1.0, nzero + 1.0)
     zero3 = V3(nzero, nzero, nzero)
-    init = (state, ray_o, ray_d, one3, zero3, zero3, samp0, depth0, nzero)
+    init = (state, ray_o, ray_d, one3, zero3, zero3, samp0, depth0, nzero,
+            nzero)
     out = jax.lax.while_loop(cond, body, init)
     psum = out[5]
     rx_ref[:] = psum.x
     ry_ref[:] = psum.y
     rz_ref[:] = psum.z
     tr_ref[:] = out[8]
+    it_ref[:] = out[9]
+
+
+def cluster_aabbs(grid, C: int, G: int):
+    """[C*G, 8] sphere rows -> [C, 8] cluster AABBs (mn xyz | mx xyz).
+
+    Conservative: boxes are inflated by a magnitude-scaled epsilon so f32
+    rounding in the slab test can never skip a sphere the per-sphere f32
+    test would hit.  Empty clusters get an inverted box (never hit)."""
+    g = grid.reshape(C, G, 8)
+    c = g[..., 0:3]
+    r = jnp.abs(g[..., 3:4])
+    valid = (g[..., 4:5] < 1e37)
+    mn = jnp.min(jnp.where(valid, c - r, BIGF), axis=1)
+    mx = jnp.max(jnp.where(valid, c + r, -BIGF), axis=1)
+    pad = 1e-5 + 1e-5 * jnp.maximum(jnp.abs(mn), jnp.abs(mx))
+    anyv = valid[:, :, 0].any(axis=1, keepdims=True)
+    mn = jnp.where(anyv, mn - pad, BIGF)
+    mx = jnp.where(anyv, mx + pad, -BIGF)
+    out = jnp.zeros((C, 8), jnp.float32)
+    return out.at[:, 0:3].set(mn).at[:, 3:6].set(mx)
+
+
+def build_cluster_tables(cfg: MegaConfig, sph_table8):
+    """Selective-sweep tables from the per-batch sphere table.
+
+    Returns (bounds [C,8] AABBs for the Morton G-clusters past n_prefix,
+    cluT [3*G*4, Cp] split-exact transposed fetch table)."""
+    C, Cp, G = cfg.n_clusters, cfg.n_clusters_pad, cfg.clu_g
+    S8 = sph_table8.shape[0]
+    take = min(C * G, S8 - cfg.n_prefix)
+    grid = sph_table8[cfg.n_prefix:cfg.n_prefix + take]
+    pad = C * G - grid.shape[0]
+    if pad > 0:
+        fill = jnp.zeros((pad, 8), jnp.float32).at[:, 4].set(BIGF)
+        grid = jnp.concatenate([grid, fill], axis=0)
+    bounds = cluster_aabbs(grid, C, G)                       # [C,8]
+
+    fields = grid[:, (0, 1, 2, 4)].reshape(C, G * 4).T       # [V, C]
+    hi, mid, lo = _split3(fields)
+    cluT = jnp.concatenate([hi, mid, lo], axis=0)            # [3V, C]
+    if Cp > C:
+        cluT = jnp.pad(cluT, ((0, 0), (0, Cp - C)))
+    return bounds, cluT
 
 
 def build_mega_tables(cfg, static, scene, geom):
@@ -582,7 +754,7 @@ def build_mega_tables(cfg, static, scene, geom):
     inside prepare; everything is already on device).
 
     Returns (rowsT [M,P] compacted to _rows_needed, sph [S8,8],
-    bounds [C,8], tri [T8,16], o2w [I,12], light [L8,16])."""
+    bounds [C,8], cluT, tri [T8,16], o2w [I,12], light [L8,16])."""
     prim_rows = geom.prim_rows                       # [P, 64]
     P = prim_rows.shape[0]
     if static.has_tris:
@@ -609,7 +781,13 @@ def build_mega_tables(cfg, static, scene, geom):
         light = light.at[:L, 0].set(scene.light_prob)
         light = light.at[:L, 1].set(scene.light_alias.astype(jnp.float32))
         light = light.at[:L, 2:11].set(scene.light_tri_packed[:, 0:9])
-    return (rowsT, geom.sph_table8, geom.sph_bounds8, geom.tri_table16,
+
+    if cfg.use_sel:
+        bounds, cluT = build_cluster_tables(cfg, geom.sph_table8)
+    else:
+        bounds = geom.sph_bounds8
+        cluT = jnp.zeros((8, 128), jnp.float32)
+    return (rowsT, geom.sph_table8, bounds, cluT, geom.tri_table16,
             geom.inst_o2w_rows, light)
 
 
@@ -618,7 +796,7 @@ def build_mega_tables(cfg, static, scene, geom):
     static_argnames=("cfg", "n_cells", "interpret"),
 )
 def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
-                  sph, bnd, tri, o2w, light, pix_tbl, interpret=False):
+                  sph, bnd, clu, tri, o2w, light, pix_tbl, interpret=False):
     """One pallas_call over n_cells grid cells (n_cells*1024 rays).
 
     Returns (rad V3 of [n_cells*1024], traced [n_cells*1024])."""
@@ -632,6 +810,8 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
             smem(),                                           # params [1,16]
             smem(),                                           # spheres [S8,8]
             smem(),                                           # cluster bounds
+            pl.BlockSpec(clu.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # cluster fetch
             smem(),                                           # tris [T8,16]
             pl.BlockSpec((_rowsT_m8(cfg), cfg.P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),            # rowsT (compact)
@@ -643,22 +823,30 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
         out_specs=[
             pl.BlockSpec((SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-            for _ in range(4)
+            for _ in range(5)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_cells * SUB, 128), jnp.float32)
-            for _ in range(4)
+            for _ in range(5)
         ],
         interpret=interpret,
-    )(cam_tbl, params, sph, bnd, tri, rowsT, o2w, light, pix_tbl)
-    rx, ry, rz, tr = outs
+    )(cam_tbl, params, sph, bnd, clu, tri, rowsT, o2w, light, pix_tbl)
+    rx, ry, rz, tr, it = outs
     flat = lambda x: x.reshape(n_cells * CELL)
-    return V3(flat(rx), flat(ry), flat(rz)), flat(tr)
+    return V3(flat(rx), flat(ry), flat(rz)), flat(tr), flat(it)
 
 
 def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     spp = static.sqrt_spp ** 2
     L = scene.light_prob.shape[0]
+    # Selective sweep: on when compile_scene produced a clustered sphere
+    # layout (sph_prefix > 0 implies >= 64 Morton-ordered local spheres).
+    n_prefix = int(getattr(static, "sph_prefix", 0))
+    use_sel = (n_prefix > 0
+               and _os.environ.get("MEGA_SEL", "1") == "1")
+    G = int(_os.environ.get("MEGA_G", "8"))
+    n_local = int(static.num_spheres) - n_prefix
+    C = -(-n_local // G) if use_sel else 0
     return MegaConfig(
         s_pad=int(scene.sph_center.shape[0]),
         n_spheres=int(static.num_spheres),
@@ -675,7 +863,11 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         use_dof=bool(use_dof),
         has_lights=bool(static.has_lights),
         flags=static.flags,
-        use_cull=bool(static.num_spheres >= 64) and _os.environ.get("MEGA_CULL", "") == "1",
+        use_sel=use_sel,
+        n_prefix=n_prefix,
+        clu_g=G,
+        n_clusters=C,
+        n_clusters_pad=max(128, -(-C // 128) * 128),
     )
 
 
@@ -764,11 +956,11 @@ def render_tile_mega(
                           constant_values=n_pix)
     pix_tbl2 = pix_tbl.reshape(n_cells * SUB, 128)
 
-    rowsT, sph, bnd, tri, o2w, light = build_mega_tables(
+    rowsT, sph, bnd, clu, tri, o2w, light = build_mega_tables(
         cfg, static, scene, geom)
-    psum, traced = mega_dispatch(
-        cfg, n_cells, cam_tbl, params, rowsT, sph, bnd, tri, o2w, light,
-        pix_tbl2, interpret=interpret,
+    psum, traced, iters = mega_dispatch(
+        cfg, n_cells, cam_tbl, params, rowsT, sph, bnd, clu, tri, o2w,
+        light, pix_tbl2, interpret=interpret,
     )
     rays_traced = jnp.sum(traced)
 
@@ -788,4 +980,6 @@ def render_tile_mega(
     tile = flat.reshape(rows_per_tile, W, 3)
     if reduce_mean:
         tile = tile / jnp.float32(spp_local * n_batches)
-    return tile, rays_traced, traced_pix
+    # iters[lane] = wall-clock while-iterations of the lane's CELL (equal
+    # across a cell): sum(traced)/sum(iters per cell basis) = utilization.
+    return tile, rays_traced, traced_pix, iters

@@ -57,7 +57,7 @@ def _compare(name, **kw):
         static, scene, cam, trace_fn, geom,
         jnp.int32(0), jnp.int32(0), H, use_dof,
     )
-    got, rays_got, traced_pix = render_tile_mega(
+    got, rays_got, traced_pix, _it = render_tile_mega(
         static, scene, geom, cam,
         jnp.int32(0), jnp.int32(0), H, use_dof, interpret=True,
     )
