@@ -110,6 +110,12 @@ class MegaConfig:
     n_pix: int = 0      # pixels in this tile (rows_per_tile * width)
     n_batches: int = 1  # sample batches fused into one lane sample stream
                         # (static scenes only: geometry identical per batch)
+    q_pix: int = 1      # pixels per lane, processed sequentially.  With a
+                        # cost-stratified "snake" assignment (renderer
+                        # _snake_perm) a lane's q pixels come from q cost
+                        # strata, so lane TOTALS equalize and the cell's
+                        # slowest-lane tail shrinks: measured cross-chunk
+                        # utilization 0.57 (q=1) -> 0.80 (q=8).
     # Cluster-selective sphere sweep (sub-linear in scene size): spheres
     # [0, n_prefix) are "global" and swept densely; the rest are Morton-
     # ordered clusters of clu_g spheres traversed per lane nearest-first
@@ -507,41 +513,50 @@ def _rowsT_m8(cfg: MegaConfig) -> int:
 def _mega_kernel(cam_ref, prm_ref, sph_ref, bnd_ref, clu_ref, tri_ref,
                  rowsT_ref, o2w_ref, light_ref, pix_ref, rx_ref, ry_ref,
                  rz_ref, tr_ref, it_ref, *, cfg: MegaConfig):
-    """Persistent-lane path tracer: one lane owns ONE PIXEL and traces its
-    spp_local samples sequentially, regenerating a fresh camera ray the
-    moment a sample terminates (miss / absorb / depth exhausted).
+    """Persistent-lane path tracer: one lane owns q_pix PIXELS and traces
+    each pixel's spp_local*n_batches samples sequentially (pixel after
+    pixel), regenerating a fresh camera ray the moment a sample
+    terminates (miss / absorb / depth exhausted).
 
     This is the divergence fix: a naive one-ray-per-lane cell iterates
-    until its LAST ray dies (measured 6.3x waste at depth 50), while
-    regeneration bounds the idle tail to the final sample per lane and
-    cost-sorted pixel assignment makes cells depth-homogeneous.
-    Outputs are per-lane radiance SUMS over the lane's samples, in
-    pix_ref order (the caller scatters them back to image order).
+    until its LAST ray dies (measured 6.3x waste at depth 50).  Sample
+    regeneration bounds the idle tail to the final sample per lane, and
+    the snake-stratified multi-pixel assignment (renderer._snake_perm)
+    equalizes lane TOTALS, so the cell's slowest-lane tail nearly
+    vanishes even when per-sample costs are stochastic.
+
+    Per-pixel radiance lands in the q_pix output row-blocks in pix_ref
+    order (the caller scatters them back to image order).  A pixel's
+    samples are always processed by ONE lane in sample order and summed
+    into its output slot in that order, so results are bit-identical to
+    the single-pixel-per-lane kernel.
     """
     from . import shading
 
-    # Lane -> pixel assignment comes from a table so the host can sort
-    # pixels by expected cost (previous batch's bounce count): a cell's
-    # runtime is its WORST lane, so cost-homogeneous cells kill the
-    # divergence tail.  Entries >= n_pix are padding (lane starts done).
-    pix = pix_ref[:]                                    # (8,128) int32
-
-    # A lane's sample stream spans n_batches consecutive batches when the
-    # scene is static: the divergence tail then amortizes over the whole
-    # chunk instead of per batch.
+    Q = cfg.q_pix
     K = cfg.spp_local * cfg.n_batches
     sample_base = prm_ref[0, 7].astype(jnp.int32)
     row0 = prm_ref[0, 1].astype(jnp.int32)
     batch0 = prm_ref[0, 0].astype(jnp.int32)
-    px = pix % cfg.width
-    py = row0 + pix // cfg.width
     cam = _CamRef(cam_ref, prm_ref[0, 5], prm_ref[0, 6])
 
-    def raygen(samp):
-        """Seed + camera ray for this lane's sample `samp` (identical math
-        and RNG stream to engine.wavefront.render_tile raygen)."""
-        batch = batch0 + samp // cfg.spp_local
-        s = samp % cfg.spp_local + sample_base
+    # Per-stratum pixel assignments ([Q][8,128]; entries >= n_pix dead).
+    pix_q = [pix_ref[s * SUB:(s + 1) * SUB, :] for s in range(Q)]
+
+    def pix_of(qi):
+        p = pix_q[0]
+        for s in range(1, Q):
+            p = jnp.where(qi == s, pix_q[s], p)
+        return p
+
+    def raygen(qi, sip):
+        """Seed + camera ray for sample `sip` of the lane's `qi`-th pixel
+        (identical math and RNG stream to engine.wavefront.render_tile)."""
+        pix = pix_of(qi)
+        px = pix % cfg.width
+        py = row0 + pix // cfg.width
+        batch = batch0 + sip // cfg.spp_local
+        s = sip % cfg.spp_local + sample_base
         st = rng.init_rng(batch.astype(jnp.uint32), s.astype(jnp.uint32),
                           py.astype(jnp.uint32), px.astype(jnp.uint32),
                           cfg.width, cfg.height, cfg.spp)
@@ -552,22 +567,32 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, bnd_ref, clu_ref, tri_ref,
             use_dof=cfg.use_dof,
         )
 
-    state, ray_o, ray_d = raygen(jnp.zeros_like(pix))
+    qi0 = jnp.zeros_like(pix_q[0])
+    state, ray_o, ray_d = raygen(qi0, qi0)
     nzero = ray_d.x * 0.0
     bg = V3(nzero + prm_ref[0, 2], nzero + prm_ref[0, 3], nzero + prm_ref[0, 4])
     lcount = prm_ref[0, 8]
     larea = prm_ref[0, 9]
     layout = _fetch_layout(cfg)
-
-    # Padding lanes (pixel beyond the tile) start finished.
-    samp0 = jnp.where(pix < cfg.n_pix, 0, K) + pix * 0
     depth0 = (nzero + cfg.max_depth).astype(jnp.int32)
 
+    # Per-pixel accumulators live in the output refs (zeroed here); the
+    # kernel flushes a sample's radiance into its pixel's row-block the
+    # moment the sample completes.
+    zq = jnp.zeros((Q * SUB, 128), jnp.float32)
+    rx_ref[:] = zq
+    ry_ref[:] = zq
+    rz_ref[:] = zq
+    tr_ref[:] = zq
+
     def body(carry):
-        (state, ray_o, ray_d, thr, acc, psum, samp, depth, traced,
+        (state, ray_o, ray_d, thr, acc, qi, sip, depth, scnt,
          iters) = carry
-        active = samp < K
-        traced = traced + active.astype(jnp.float32)
+        pix = pix_of(qi)
+        dead = pix >= cfg.n_pix
+        avail = qi < Q
+        active = avail & ~dead
+        scnt = scnt + active.astype(jnp.float32)
         iters = iters + 1.0
 
         bt, prim, is_sphere, bu, bv, tp = _sweep(
@@ -668,41 +693,55 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, bnd_ref, clu_ref, tri_ref,
         sample_over = active & (missed | (hit & ~srec.is_scattered)
                                 | (scattered & (depth2 <= 0)))
         cont = scattered & (depth2 > 0)
+        # A dead (padding) pixel is skipped whole in one iteration.
+        jump = avail & dead
 
-        psum = vec3.where(sample_over, psum + acc, psum)
-        samp2 = jnp.where(sample_over, samp + 1, samp)
-        regen = sample_over & (samp2 < K)
+        # Flush the completed sample's radiance + bounce count into its
+        # pixel's output row-block (adds happen in sample order per
+        # pixel, preserving bitwise parity with per-lane accumulation).
+        @pl.when(jnp.any(sample_over))
+        def _flush():
+            for s in range(Q):
+                m = sample_over & (qi == s)
+                mf = m.astype(jnp.float32)
+                sl = slice(s * SUB, (s + 1) * SUB)
+                rx_ref[sl, :] += jnp.where(m, acc.x, 0.0)
+                ry_ref[sl, :] += jnp.where(m, acc.y, 0.0)
+                rz_ref[sl, :] += jnp.where(m, acc.z, 0.0)
+                tr_ref[sl, :] += mf * scnt
+
+        crossed = sample_over & (sip + 1 >= K)
+        qi2 = jnp.where(crossed | jump, qi + 1, qi)
+        sip2 = jnp.where(crossed | jump, 0,
+                         jnp.where(sample_over, sip + 1, sip))
+        scnt = jnp.where(sample_over, nzero, scnt)
 
         ray_o = vec3.where(cont, hp, ray_o)
         ray_d = vec3.where(cont, new_dir, ray_d)
         thr = vec3.where(cont, new_thr, thr)
         state = jnp.where(active, state2, state)
 
-        rg_state, rg_o, rg_d = raygen(samp2)
+        regen = (sample_over | jump) & (qi2 < Q)
+        rg_state, rg_o, rg_d = raygen(qi2, sip2)
         state = jnp.where(regen, rg_state, state)
         ray_o = vec3.where(regen, rg_o, ray_o)
         ray_d = vec3.where(regen, rg_d, ray_d)
         one = nzero + 1.0
         thr = vec3.where(regen, V3(one, one, one), thr)
-        acc = vec3.where(sample_over, V3(nzero, nzero, nzero), acc)
+        acc = vec3.where(sample_over | jump, V3(nzero, nzero, nzero), acc)
         depth3 = jnp.where(regen, depth0, depth2)
 
-        return (state, ray_o, ray_d, thr, acc, psum, samp2, depth3, traced,
+        return (state, ray_o, ray_d, thr, acc, qi2, sip2, depth3, scnt,
                 iters)
 
     def cond(carry):
-        return jnp.sum((carry[6] < K).astype(jnp.int32)) > 0
+        return jnp.sum((carry[5] < Q).astype(jnp.int32)) > 0
 
     one3 = V3(nzero + 1.0, nzero + 1.0, nzero + 1.0)
     zero3 = V3(nzero, nzero, nzero)
-    init = (state, ray_o, ray_d, one3, zero3, zero3, samp0, depth0, nzero,
+    init = (state, ray_o, ray_d, one3, zero3, qi0, qi0, depth0, nzero,
             nzero)
     out = jax.lax.while_loop(cond, body, init)
-    psum = out[5]
-    rx_ref[:] = psum.x
-    ry_ref[:] = psum.y
-    rz_ref[:] = psum.z
-    tr_ref[:] = out[8]
     it_ref[:] = out[9]
 
 
@@ -801,7 +840,11 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
 
     Returns (rad V3 of [n_cells*1024], traced [n_cells*1024])."""
     kernel = functools.partial(_mega_kernel, cfg=cfg)
+    Q = cfg.q_pix
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    qspec = pl.BlockSpec((Q * SUB, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    qshape = jax.ShapeDtypeStruct((n_cells * Q * SUB, 128), jnp.float32)
     outs = pl.pallas_call(
         kernel,
         grid=(n_cells,),
@@ -817,33 +860,32 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
                          memory_space=pltpu.VMEM),            # rowsT (compact)
             smem(),                                           # o2w [I,12]
             smem(),                                           # light [L8,16]
-            pl.BlockSpec((SUB, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),            # pix table
+            qspec,                                            # pix table
         ],
-        out_specs=[
-            pl.BlockSpec((SUB, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(5)
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_cells * SUB, 128), jnp.float32)
-            for _ in range(5)
-        ],
+        out_specs=[qspec, qspec, qspec, qspec,
+                   pl.BlockSpec((SUB, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[qshape, qshape, qshape, qshape,
+                   jax.ShapeDtypeStruct((n_cells * SUB, 128), jnp.float32)],
         interpret=interpret,
     )(cam_tbl, params, sph, bnd, clu, tri, rowsT, o2w, light, pix_tbl)
     rx, ry, rz, tr, it = outs
-    flat = lambda x: x.reshape(n_cells * CELL)
-    return V3(flat(rx), flat(ry), flat(rz)), flat(tr), flat(it)
+    flatq = lambda x: x.reshape(n_cells * Q * CELL)
+    return (V3(flatq(rx), flatq(ry), flatq(rz)), flatq(tr),
+            it.reshape(n_cells * CELL))
 
 
 def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     spp = static.sqrt_spp ** 2
     L = scene.light_prob.shape[0]
-    # Selective sweep: on when compile_scene produced a clustered sphere
-    # layout (sph_prefix > 0 implies >= 64 Morton-ordered local spheres).
+    # Selective sweep (off by default): under the cost-sorted lane->pixel
+    # assignment a cell's rays span the whole image, so cluster traversal
+    # pays its AABB pretest + fetch rounds without pruning — measured 137
+    # (dense) vs 119 (selective) Mray-bounces/s on final-one-weekend.
+    # MEGA_SEL=1 re-enables it for spatially-coherent assignments.
     n_prefix = int(getattr(static, "sph_prefix", 0))
     use_sel = (n_prefix > 0
-               and _os.environ.get("MEGA_SEL", "1") == "1")
+               and _os.environ.get("MEGA_SEL", "0") == "1")
     G = int(_os.environ.get("MEGA_G", "8"))
     n_local = int(static.num_spheres) - n_prefix
     C = -(-n_local // G) if use_sel else 0
@@ -905,6 +947,7 @@ def render_tile_mega(
     interpret: bool = False,
     pix_perm=None,
     n_batches: int = 1,
+    q_pix: int = 1,
 ):
     """Megakernel drop-in for engine.wavefront.render_tile (same contract:
     (tile [rows, W, 3], rays_traced)).
@@ -920,8 +963,9 @@ def render_tile_mega(
         spp_local = spp
     n_pix = rows_per_tile * W
     cfg = make_config(static, scene, use_dof, spp_local)
-    cfg = dataclasses.replace(cfg, n_pix=n_pix, n_batches=n_batches)
-    n_cells = -(-n_pix // CELL)
+    cfg = dataclasses.replace(cfg, n_pix=n_pix, n_batches=n_batches,
+                              q_pix=q_pix)
+    n_cells = -(-n_pix // (CELL * q_pix))
 
     cam_tbl = jnp.concatenate([cam.view_inverse, cam.proj_inverse], axis=0)
 
@@ -944,17 +988,19 @@ def render_tile_mega(
     params = params.at[0, 9].set(scene.light_total_area)
 
     if pix_perm is not None:
-        # the permutation (e.g. 32x32 spatial tiles) may carry per-tile
-        # padding; size the grid to it
-        n_cells = -(-pix_perm.shape[0] // CELL)
-    n_slots = n_cells * CELL
+        # the permutation (e.g. snake strata) may carry padding slots;
+        # size the grid to it
+        n_cells = -(-pix_perm.shape[0] // (CELL * q_pix))
+    n_slots = n_cells * CELL * q_pix
     if pix_perm is None:
+        # identity assignment in [cell][stratum][lane] slot order: lane l
+        # of cell c owns pixels {c*Q*1024 + s*1024 + l}.
         pix_tbl = jax.lax.iota(jnp.int32, n_slots)
     else:
         pad = n_slots - pix_perm.shape[0]
         pix_tbl = jnp.pad(pix_perm.astype(jnp.int32), (0, pad),
                           constant_values=n_pix)
-    pix_tbl2 = pix_tbl.reshape(n_cells * SUB, 128)
+    pix_tbl2 = pix_tbl.reshape(n_cells * q_pix * SUB, 128)
 
     rowsT, sph, bnd, clu, tri, o2w, light = build_mega_tables(
         cfg, static, scene, geom)

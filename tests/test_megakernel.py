@@ -94,6 +94,37 @@ def test_statistical_parity(name, max_bad):
     assert abs(rr - rg) <= 0.002 * rr
 
 
+def test_qpix_lanes_bitwise():
+    """Multi-pixel lanes (q_pix>1) with banded and snake-stratified
+    assignments reproduce the single-pixel kernel bitwise: each pixel's
+    samples are still traced by one lane in sample order."""
+    from raytrace_tpu.engine.renderer import banded_pixel_perm, _snake_perm
+
+    cs, scene, static, cam, geom, use_dof = _setup("diffuse-spheres.json")
+    H, W = static.height, static.width
+    base, rays, traced, _ = render_tile_mega(
+        static, scene, geom, cam, jnp.int32(0), jnp.int32(0), H, use_dof,
+        interpret=True)
+    got, rays_q, traced_q, _ = render_tile_mega(
+        static, scene, geom, cam, jnp.int32(0), jnp.int32(0), H, use_dof,
+        interpret=True, q_pix=4)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+    assert float(rays) == float(rays_q)
+    np.testing.assert_array_equal(np.asarray(traced), np.asarray(traced_q))
+
+    bp = jnp.asarray(banded_pixel_perm(H, W, 4))
+    got_b, _, traced_b, _ = render_tile_mega(
+        static, scene, geom, cam, jnp.int32(0), jnp.int32(0), H, use_dof,
+        interpret=True, q_pix=4, pix_perm=bp)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got_b))
+
+    sp = _snake_perm(traced_b, 4, bp.shape[0] // 4)
+    got_s, _, _, _ = render_tile_mega(
+        static, scene, geom, cam, jnp.int32(0), jnp.int32(0), H, use_dof,
+        interpret=True, q_pix=4, pix_perm=sp)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got_s))
+
+
 def test_unsupported_scenes_gated():
     """Image/noise-texture scenes must not enter the megakernel path."""
     for name in ["earth.json", "perlin-spheres.json", "simple-light.json"]:
