@@ -126,6 +126,14 @@ class MegaConfig:
     n_clusters: int = 0
     n_clusters_pad: int = 128
     sky_is_gradient: bool = False
+    # MXU sphere sweep: the ray-sphere dot products (c.d, c.o) for ALL
+    # spheres come from one split-precision matmul and the quadratic
+    # solve runs as elementwise passes over [S, 1024] — ~21 VPU passes
+    # instead of ~35 scalar ops per sphere.  ~16-bit-mantissa c/k (hi+lo
+    # bf16), so results can differ from the scalar sweep at FP-noise
+    # level (statistical parity, not bitwise).  Used for big sphere
+    # counts where the scalar loop dominates the iteration.
+    use_mxu_sweep: bool = False
 
 
 def _fetch_rows(rowsT_ref, prim, P: int, layout):
@@ -302,11 +310,92 @@ def _sweep_selective(cfg: MegaConfig, bnd_ref, clu_ref, o: V3,
     return out[0], out[1]
 
 
-def _sweep(cfg: MegaConfig, sph_ref, bnd_ref, clu_ref, tri_ref,
+def _flat_row(x):
+    """(8,128) lane tile -> (1,1024) row (sublane-major lane order).
+
+    Each sublane is rotated to offset 0 before slicing: Mosaic refuses a
+    lane-axis concat whose inputs sit at different sublane offsets."""
+    parts = []
+    for k in range(SUB):
+        xr = pltpu.roll(x, SUB - k, 0) if k else x
+        parts.append(xr[0:1, :])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unflat_row(r):
+    """(1,1024) row -> (8,128) lane tile (inverse of _flat_row)."""
+    return jnp.concatenate(
+        [r[:, k * 128:(k + 1) * 128] for k in range(SUB)], axis=0)
+
+
+def _sweep_mxu(cfg: MegaConfig, sphT_ref, o: V3, d: V3,
+               a, inv_a, ddo, osq, bt, bid):
+    """All-sphere closest hit with the dot products on the MXU.
+
+    sphT_ref is [12, S_pad]: (cx, cy, cz, k) as _split3 hi/mid/lo rows —
+    one DEFAULT-precision matmul against the split per-lane ray rows
+    yields c.d and (c.o - k/2) for every sphere at once, exact except
+    for f32 accumulation order (<= a few ulp vs the scalar sweep).  The
+    quadratic solve then runs as elementwise passes over [S, 1024];
+    negative discriminants propagate NaN through sqrt, which fails every
+    comparison and selects T_MAX (no explicit validity mask).
+
+    Replaces ~35 scalar ops/sphere with ~21 [S,1024] passes + the
+    min/argmin reduction.  Tie-break matches the scalar sweep (argmin
+    picks the lowest sphere id)."""
+
+    def split_rows(v: V3, last: float):
+        """[72, 1024]: nine 8-row blocks (one per sphere-split x ray-split
+        cross-product pairing; rows 4-7 of each block are zero pads so
+        every concat offset is 8-aligned for Mosaic).  Block order matches
+        build_mega_tables' sphT layout."""
+        comps = [_flat_row(v.x), _flat_row(v.y), _flat_row(v.z),
+                 jnp.full((1, CELL), last, jnp.float32)]
+        splits = [_split3(c) for c in comps]           # [4][3] of (1,1024)
+        z = jnp.zeros((1, CELL), jnp.float32)
+        blocks = []
+        for _sph_level in range(3):
+            for ray_level in range(3):
+                rows = [splits[c][ray_level] for c in range(4)]
+                blocks.append(jnp.concatenate(rows + [z, z, z, z], axis=0))
+        return jnp.concatenate(blocks, axis=0)         # [72, 1024]
+
+    rhs = jnp.concatenate(
+        [split_rows(d, 0.0), split_rows(o, -0.5)], axis=1)   # [72, 2048]
+    out = jax.lax.dot_general(
+        sphT_ref[:], rhs, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)            # [S, 2048]
+    cd = out[:, :CELL]
+    co2 = out[:, CELL:]
+
+    ddo_f = _flat_row(ddo)
+    osq_f = _flat_row(osq)
+    inv_a_f = _flat_row(inv_a)
+    h = ddo_f - cd                                     # [S, 1024]
+    c2 = osq_f - 2.0 * co2
+    a_f = _flat_row(a)
+    sq = jnp.sqrt(h * h - a_f * c2)                    # NaN when disc < 0
+    t1 = (-h - sq) * inv_a_f
+    t2 = (-h + sq) * inv_a_f
+    t = jnp.where((t1 > T_MIN) & (t1 < T_MAX), t1,
+                  jnp.where((t2 > T_MIN) & (t2 < T_MAX), t2, T_MAX))
+    best = jnp.min(t, axis=0, keepdims=True)           # [1, 1024]
+    sid = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+    bt_m = _unflat_row(best)
+    bid_m = _unflat_row(sid)
+    better = bt_m < bt
+    return (jnp.where(better, bt_m, bt),
+            jnp.where(better, bid_m, bid))
+
+
+def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, bnd_ref, clu_ref, tri_ref,
            o: V3, d: V3, active, nzero):
     """Closest hit: scalar-loop sweep over SMEM tables, unrolled x8.
 
-    With use_sel, only the n_prefix "global" spheres are swept densely;
+    With use_mxu_sweep the sphere block goes through _sweep_mxu (dot
+    products on the MXU, elementwise solve over [S,1024]).  With
+    use_sel, only the n_prefix "global" spheres are swept densely and
     the remaining Morton-clustered spheres go through _sweep_selective
     (per-lane nearest-first cluster traversal — sub-linear in S).
 
@@ -354,7 +443,10 @@ def _sweep(cfg: MegaConfig, sph_ref, bnd_ref, clu_ref, tri_ref,
                 bid = jnp.where(better, si, bid)
             return bt, bid
 
-        if cfg.use_sel:
+        if cfg.use_mxu_sweep:
+            bt, bid = _sweep_mxu(
+                cfg, sphT_ref, o, d, a, inv_a, ddo, osq, bt, bid)
+        elif cfg.use_sel:
             # Dense "global" prefix (ground/hero-scale spheres); chunks may
             # overlap into the clustered section — harmless (min is
             # idempotent), it just re-tests a few spheres.
@@ -510,9 +602,9 @@ def _rowsT_m8(cfg: MegaConfig) -> int:
     return -(-m // 8) * 8
 
 
-def _mega_kernel(cam_ref, prm_ref, sph_ref, bnd_ref, clu_ref, tri_ref,
-                 rowsT_ref, o2w_ref, light_ref, pix_ref, rx_ref, ry_ref,
-                 rz_ref, tr_ref, it_ref, *, cfg: MegaConfig):
+def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, bnd_ref, clu_ref,
+                 tri_ref, rowsT_ref, o2w_ref, light_ref, pix_ref, rx_ref,
+                 ry_ref, rz_ref, tr_ref, it_ref, *, cfg: MegaConfig):
     """Persistent-lane path tracer: one lane owns q_pix PIXELS and traces
     each pixel's spp_local*n_batches samples sequentially (pixel after
     pixel), regenerating a fresh camera ray the moment a sample
@@ -596,7 +688,7 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, bnd_ref, clu_ref, tri_ref,
         iters = iters + 1.0
 
         bt, prim, is_sphere, bu, bv, tp = _sweep(
-            cfg, sph_ref, bnd_ref, clu_ref, tri_ref, ray_o, ray_d,
+            cfg, sph_ref, sphT_ref, bnd_ref, clu_ref, tri_ref, ray_o, ray_d,
             active, nzero)
         missed = bt >= T_MAX
         acc = vec3.where(active & missed, acc + thr * bg, acc)
@@ -826,7 +918,23 @@ def build_mega_tables(cfg, static, scene, geom):
     else:
         bounds = geom.sph_bounds8
         cluT = jnp.zeros((8, 128), jnp.float32)
-    return (rowsT, geom.sph_table8, bounds, cluT, geom.tri_table16,
+
+    if cfg.use_mxu_sweep:
+        # [72, S_pad] split-exact sphere rows for the MXU sweep: nine
+        # 8-row blocks of (cx, cy, cz, k, 0, 0, 0, 0), sphere-split level
+        # repeated 3x so every cross-product with the ray-side triple
+        # pairs up in the contraction (_sweep_mxu.split_rows order).
+        g = geom.sph_table8[:, (0, 1, 2, 4)].T                # [4, S8]
+        hi, mid, lo = _split3(g)
+        z4 = jnp.zeros_like(g)
+        blocks = []
+        for lvl in (hi, mid, lo):
+            b8 = jnp.concatenate([lvl, z4], axis=0)           # [8, S8]
+            blocks += [b8, b8, b8]
+        sphT = jnp.concatenate(blocks, axis=0)                # [72, S8]
+    else:
+        sphT = jnp.zeros((8, 128), jnp.float32)
+    return (rowsT, geom.sph_table8, sphT, bounds, cluT, geom.tri_table16,
             geom.inst_o2w_rows, light)
 
 
@@ -835,7 +943,8 @@ def build_mega_tables(cfg, static, scene, geom):
     static_argnames=("cfg", "n_cells", "interpret"),
 )
 def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
-                  sph, bnd, clu, tri, o2w, light, pix_tbl, interpret=False):
+                  sph, sphT, bnd, clu, tri, o2w, light, pix_tbl,
+                  interpret=False):
     """One pallas_call over n_cells grid cells (n_cells*1024 rays).
 
     Returns (rad V3 of [n_cells*1024], traced [n_cells*1024])."""
@@ -852,6 +961,8 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
             smem(),                                           # cam [8,4]
             smem(),                                           # params [1,16]
             smem(),                                           # spheres [S8,8]
+            pl.BlockSpec(sphT.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # MXU sphere tbl
             smem(),                                           # cluster bounds
             pl.BlockSpec(clu.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),            # cluster fetch
@@ -868,7 +979,7 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
         out_shape=[qshape, qshape, qshape, qshape,
                    jax.ShapeDtypeStruct((n_cells * SUB, 128), jnp.float32)],
         interpret=interpret,
-    )(cam_tbl, params, sph, bnd, clu, tri, rowsT, o2w, light, pix_tbl)
+    )(cam_tbl, params, sph, sphT, bnd, clu, tri, rowsT, o2w, light, pix_tbl)
     rx, ry, rz, tr, it = outs
     flatq = lambda x: x.reshape(n_cells * Q * CELL)
     return (V3(flatq(rx), flatq(ry), flatq(rz)), flatq(tr),
@@ -889,6 +1000,11 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     G = int(_os.environ.get("MEGA_G", "8"))
     n_local = int(static.num_spheres) - n_prefix
     C = -(-n_local // G) if use_sel else 0
+    # MXU sweep pays one matmul + ~21 [S,1024] passes regardless of S;
+    # it beats the ~35-op/sphere scalar loop once S is large enough that
+    # the loop dominates the iteration.
+    use_mxu = (not use_sel and int(static.num_spheres) >= 64
+               and _os.environ.get("MEGA_MXU", "1") == "1")
     return MegaConfig(
         s_pad=int(scene.sph_center.shape[0]),
         n_spheres=int(static.num_spheres),
@@ -910,6 +1026,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         clu_g=G,
         n_clusters=C,
         n_clusters_pad=max(128, -(-C // 128) * 128),
+        use_mxu_sweep=use_mxu,
     )
 
 
@@ -1002,11 +1119,11 @@ def render_tile_mega(
                           constant_values=n_pix)
     pix_tbl2 = pix_tbl.reshape(n_cells * q_pix * SUB, 128)
 
-    rowsT, sph, bnd, clu, tri, o2w, light = build_mega_tables(
+    rowsT, sph, sphT, bnd, clu, tri, o2w, light = build_mega_tables(
         cfg, static, scene, geom)
     psum, traced, iters = mega_dispatch(
-        cfg, n_cells, cam_tbl, params, rowsT, sph, bnd, clu, tri, o2w,
-        light, pix_tbl2, interpret=interpret,
+        cfg, n_cells, cam_tbl, params, rowsT, sph, sphT, bnd, clu, tri,
+        o2w, light, pix_tbl2, interpret=interpret,
     )
     rays_traced = jnp.sum(traced)
 
