@@ -86,13 +86,14 @@ def cmd_render(args) -> int:
 
 
 def cmd_generate(args) -> int:
-    from .tools import generate_final_one_weekend_scene
+    from .tools import generate_final_one_weekend_pair
 
     os.makedirs(args.out_dir, exist_ok=True)
-    for blur, name in [(False, "final-one-weekend.json"),
-                       (True, "final-one-weekend-motion-blur.json")]:
+    static, blur = generate_final_one_weekend_pair()
+    for scene, name in [(static, "final-one-weekend.json"),
+                        (blur, "final-one-weekend-motion-blur.json")]:
         path = os.path.join(args.out_dir, name)
-        generate_final_one_weekend_scene(do_motion_blur=blur).save_json(path)
+        scene.save_json(path)
         log.info("wrote %s", path)
     return 0
 

@@ -33,14 +33,21 @@ HOST_SEED = 485_674_845_675_491
 
 def get_batch_ray_times(sample_batches: int, seed: int = HOST_SEED) -> np.ndarray:
     """Jittered stratified shutter times over [0,1], biased around cell
-    centers (render_engine.rs:700-710).  Uses numpy's PCG64 stream seeded
-    with the reference's fixed seed (the reference used ChaCha20; same
-    distribution, different stream — a documented deviation)."""
-    rng = np.random.default_rng(seed)
-    d = 1.0 / sample_batches
-    t_center = (np.arange(sample_batches) + 0.5) * d
-    jitter = rng.uniform(-0.5, 0.5, size=sample_batches)
-    return np.clip(t_center + jitter * d, 0.0, 1.0).astype(np.float32)
+    centers (render_engine.rs:700-710), drawn from the same ChaCha20
+    stream the reference seeds at engine construction
+    (render_engine.rs:116) — the times match the reference bitwise
+    (tools/chacha.py replicates rand 0.9's stream + float conversion)."""
+    from ..tools.chacha import ChaCha20Rng
+
+    rng = ChaCha20Rng.seed_from_u64(seed)
+    f = np.float32
+    d = f(1.0) / f(sample_batches)
+    out = []
+    for i in range(sample_batches):
+        t_center = (f(i) + f(0.5)) * d
+        jitter = f(rng.f32_range(-0.5, 0.5))
+        out.append(np.clip(t_center + jitter * d, f(0.0), f(1.0)))
+    return np.asarray(out, np.float32)
 
 
 @functools.lru_cache(maxsize=64)
@@ -221,6 +228,9 @@ class Renderer:
         metrics_jsonl: Optional[str] = None,
         use_pallas_sweep: Optional[bool] = None,
     ):
+        from ..utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.compiled = compiled
         # Kept so update_image_size can rebuild with identical options.
         self._ctor_kwargs = dict(

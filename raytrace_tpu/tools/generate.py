@@ -7,13 +7,13 @@ Same construction: a 1000-radius checkered ground sphere (y-down world), a
 spheres, every sphere snapped onto the ground sphere with a 0.035 fudge,
 motion-blur variant giving diffuse spheres an animated falling translation.
 
-RNG note: the reference uses an OS-independent but library-specific
-ChaCha20 stream (seed 485674845675491) through rand's distributions; we use
-numpy PCG64 with the same seed — same distributions, different draws, so the
-generated scene differs sphere-by-sphere but is statistically identical and
-fully deterministic.  For renders that must match the reference's shipped
-assets byte-for-byte, use the shipped JSON files directly — they load
-unchanged (scene_file is format-compatible).
+RNG: a bit-compatible ChaCha20 stream (tools/chacha.py) seeded with the
+reference's 485674845675491 (tools/src/main.rs:25), with rand 0.9 float
+conversions and f32 arithmetic throughout — the generated scenes match the
+reference's shipped assets/final-one-weekend*.json sphere-for-sphere
+(tests/test_generate.py).  As in the reference, the RNG is seeded ONCE and
+the static scene is generated before the motion-blur one, which continues
+the same stream (tools/src/main.rs:28-31).
 """
 
 from __future__ import annotations
@@ -35,22 +35,35 @@ from ..scene_file import (
     UvSphere,
     VerticalGradientSky,
 )
+from .chacha import ChaCha20Rng
 
 SEED = 485_674_845_675_491
 FUDGE = 0.035
 
+_f32 = np.float32
+
 
 def _touch_ground(center, radius, g_center, g_radius):
-    center = np.asarray(center, np.float64)
-    g_center = np.asarray(g_center, np.float64)
-    d = center - g_center
-    d = d / np.linalg.norm(d)
-    return (d * (g_radius + radius - FUDGE) + g_center).astype(np.float32).tolist()
+    """make_sphere_touch_ground (tools/src/main.rs:39-50), f32 semantics:
+    glam normalize multiplies by the reciprocal length."""
+    d = [_f32(center[i]) - _f32(g_center[i]) for i in range(3)]
+    inv = _f32(1.0) / np.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2],
+                              dtype=np.float32)
+    s = _f32(g_radius) + _f32(radius) - _f32(FUDGE)
+    return [float(d[i] * inv * s + _f32(g_center[i])) for i in range(3)]
+
+
+def _dist_f32(p, q):
+    d = [_f32(p[i]) - _f32(q[i]) for i in range(3)]
+    return float(np.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2],
+                         dtype=np.float32))
 
 
 def generate_final_one_weekend_scene(do_motion_blur: bool = False,
+                                     rng: ChaCha20Rng | None = None,
                                      seed: int = SEED) -> SceneFile:
-    rng = np.random.default_rng(seed)
+    if rng is None:
+        rng = ChaCha20Rng.seed_from_u64(seed)
 
     textures = [
         ConstantTexture(name="green", rgb=[0.2, 0.3, 0.1]),
@@ -67,48 +80,55 @@ def generate_final_one_weekend_scene(do_motion_blur: bool = False,
                            material="ground")]
     instances = [Instance(name="ground_sphere")]
 
-    c1 = np.array([0.0, -1.0, 0.0])
-    c2 = np.asarray(_touch_ground([-4.0, -1.0, 0.0], 1.0, ground_center, ground_radius))
-    c3 = np.asarray(_touch_ground([4.0, -1.0, 0.0], 1.0, ground_center, ground_radius))
+    c1 = [0.0, -1.0, 0.0]
+    c2 = _touch_ground([-4.0, -1.0, 0.0], 1.0, ground_center, ground_radius)
+    c3 = _touch_ground([4.0, -1.0, 0.0], 1.0, ground_center, ground_radius)
     hero_r = 1.0
 
     for a in range(-11, 11):
         for b in range(-11, 11):
-            choose_mat = rng.random()
+            choose_mat = rng.f32()
             radius = 0.2
             while True:
-                center = _touch_ground(
-                    [a + 0.9 * rng.random(), -radius, b + 0.9 * rng.random()],
-                    radius, ground_center, ground_radius,
-                )
-                p = np.asarray(center)
+                x = _f32(a) + _f32(0.9) * _f32(rng.f32())
+                z = _f32(b) + _f32(0.9) * _f32(rng.f32())
+                center = _touch_ground([x, -radius, z], radius,
+                                       ground_center, ground_radius)
                 total = hero_r + radius
-                if (np.linalg.norm(p - c1) > total
-                        and np.linalg.norm(p - c2) > total
-                        and np.linalg.norm(p - c3) > total):
+                if (_dist_f32(center, c1) > total
+                        and _dist_f32(center, c2) > total
+                        and _dist_f32(center, c3) > total):
                     break
 
             transform = None
             if choose_mat < 0.8:
                 name = f"diffuse_{a}_{b}"
-                albedo = (rng.random(3) * rng.random(3)).astype(float).tolist()
-                textures.append(ConstantTexture(name=f"tex_albedo_{name}", rgb=albedo))
-                mat = Lambertian(name=f"mat_{name}", albedo=f"tex_albedo_{name}")
+                v1, v2 = rng.vec3(), rng.vec3()
+                albedo = [float(_f32(v1[i]) * _f32(v2[i])) for i in range(3)]
+                textures.append(
+                    ConstantTexture(name=f"tex_albedo_{name}", rgb=albedo))
+                mat = Lambertian(name=f"mat_{name}",
+                                 albedo=f"tex_albedo_{name}")
                 if do_motion_blur:
                     transform = TransformType(
-                        start=Transform(translate=[0.0, float(rng.uniform(-0.5, 0.0)), 0.0]),
+                        start=Transform(
+                            translate=[0.0, rng.f32_range(-0.5, 0.0), 0.0]),
                         end=Transform(translate=[0.0, 0.0, 0.0]),
                     )
             elif choose_mat < 0.95:
                 name = f"metal_{a}_{b}"
-                albedo = rng.uniform(0.5, 1.0, 3).astype(float).tolist()
-                fuzz = rng.uniform(0.0, 0.5, 3).astype(float).tolist()
-                textures.append(ConstantTexture(name=f"tex_albedo_{name}", rgb=albedo))
-                textures.append(ConstantTexture(name=f"tex_fuzz_{name}", rgb=fuzz))
-                mat = Metal(name=f"mat_metal_{a}_{b}", albedo=f"tex_albedo_{name}",
+                albedo = rng.vec3_in_range(0.5, 1.0)
+                fuzz = rng.vec3_in_range(0.0, 0.5)
+                textures.append(
+                    ConstantTexture(name=f"tex_albedo_{name}", rgb=albedo))
+                textures.append(
+                    ConstantTexture(name=f"tex_fuzz_{name}", rgb=fuzz))
+                mat = Metal(name=f"mat_metal_{a}_{b}",
+                            albedo=f"tex_albedo_{name}",
                             fuzz=f"tex_fuzz_{name}")
             else:
-                mat = Dielectric(name=f"mat_dielectric_{a}_{b}", refraction_index=1.5)
+                mat = Dielectric(name=f"mat_dielectric_{a}_{b}",
+                                 refraction_index=1.5)
 
             materials.append(mat)
             sphere_name = f"sphere_{a}_{b}"
@@ -120,20 +140,21 @@ def generate_final_one_weekend_scene(do_motion_blur: bool = False,
 
     # Hero spheres.
     materials.append(Dielectric(name="material1", refraction_index=1.5))
-    primitives.append(UvSphere(name="sphere1", center=c1.tolist(), radius=hero_r,
+    primitives.append(UvSphere(name="sphere1", center=c1, radius=hero_r,
                                rings=64, segments=128, material="material1"))
     instances.append(Instance(name="sphere1"))
 
     textures.append(ConstantTexture(name="texture2", rgb=[0.4, 0.2, 0.1]))
     materials.append(Lambertian(name="material2", albedo="texture2"))
-    primitives.append(UvSphere(name="sphere2", center=c2.tolist(), radius=hero_r,
+    primitives.append(UvSphere(name="sphere2", center=c2, radius=hero_r,
                                rings=64, segments=128, material="material2"))
     instances.append(Instance(name="sphere2"))
 
     textures.append(ConstantTexture(name="texture3", rgb=[0.7, 0.6, 0.5]))
     textures.append(ConstantTexture(name="texture4", rgb=[0.0, 0.0, 0.0]))
-    materials.append(Metal(name="material3", albedo="texture3", fuzz="texture4"))
-    primitives.append(UvSphere(name="sphere3", center=c3.tolist(), radius=hero_r,
+    materials.append(Metal(name="material3", albedo="texture3",
+                           fuzz="texture4"))
+    primitives.append(UvSphere(name="sphere3", center=c3, radius=hero_r,
                                rings=64, segments=128, material="material3"))
     instances.append(Instance(name="sphere3"))
 
@@ -149,7 +170,18 @@ def generate_final_one_weekend_scene(do_motion_blur: bool = False,
         materials=materials,
         primitives=primitives,
         instances=instances,
-        sky=VerticalGradientSky(factor=0.5, top=[0.5, 0.7, 1.0], bottom=[1.0, 1.0, 1.0]),
-        render=Render(camera="default", samples_per_pixel=4, sample_batches=25,
-                      max_ray_depth=50, aspect_ratio=16.0 / 9.0),
+        sky=VerticalGradientSky(factor=0.5, top=[0.5, 0.7, 1.0],
+                                bottom=[1.0, 1.0, 1.0]),
+        render=Render(camera="default", samples_per_pixel=4,
+                      sample_batches=25, max_ray_depth=50,
+                      aspect_ratio=16.0 / 9.0),
     )
+
+
+def generate_final_one_weekend_pair():
+    """Both shipped variants from ONE seeded stream, reference order
+    (tools/src/main.rs:25-31): static first, motion blur second."""
+    rng = ChaCha20Rng.seed_from_u64(SEED)
+    static = generate_final_one_weekend_scene(False, rng=rng)
+    blur = generate_final_one_weekend_scene(True, rng=rng)
+    return static, blur

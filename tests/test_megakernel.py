@@ -81,7 +81,10 @@ def test_bitwise_parity(name):
     ("metal-spheres.json", 8),
     ("dielectric-spheres.json", 8),
     ("cornell-box.json", 4),
-    ("final-one-weekend.json", 24),
+    # final-one-weekend runs the MXU sphere sweep (>=64 spheres): c.d and
+    # c.o accumulate in matmul order, so grazing hits flip at ulp level on
+    # top of the usual metal/dielectric chaos — ~1-2% of pixels at depth 8.
+    ("final-one-weekend.json", 48),
 ])
 def test_statistical_parity(name, max_bad):
     """Chaotic scenes: individual rays may diverge at FP noise level; the
