@@ -65,7 +65,7 @@ def cmd_render(args) -> int:
             import numpy as np
 
             write_png(out, np.asarray(renderer.accum))
-        if args.checkpoint and not args.multichip:
+        if args.checkpoint:
             renderer.save_checkpoint(args.checkpoint)
     dt = time.perf_counter() - t0
 

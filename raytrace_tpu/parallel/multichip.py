@@ -47,11 +47,18 @@ def _padded_rows(height: int, n_px: int) -> int:
     return -(-height // n_px)
 
 
-def sharded_batch_fn(static: SceneStatic, mesh: Mesh, use_dof: bool):
+def sharded_batch_fn(static: SceneStatic, mesh: Mesh, use_dof: bool,
+                     rows_inner: Optional[int] = None):
     """Build the jit'd sharded batch step.
 
     Returns f(scene, geom, cam, sample_batch) -> (image [H_pad, W, 3] sharded
     over rows, rays_traced scalar).
+
+    `rows_inner` bounds rows per kernel dispatch WITHIN a shard (the same
+    ~1M-ray tile budget as the single-chip Renderer): a shard's row block
+    renders as ceil(rows_local/rows_inner) sequential dispatches, so one
+    dispatch stays well under the device watchdog even at full
+    resolution x 64 spp.
     """
     n_px = mesh.shape["px"]
     n_sp = mesh.shape["sp"]
@@ -60,18 +67,29 @@ def sharded_batch_fn(static: SceneStatic, mesh: Mesh, use_dof: bool):
         raise ValueError(f"effective spp {spp} must be divisible by sp={n_sp}")
     spp_local = spp // n_sp
     rows_local = _padded_rows(static.height, n_px)
+    if rows_inner is None or rows_inner <= 0:
+        rows_inner = rows_local
+    rows_inner = min(rows_inner, rows_local)
+    n_inner = -(-rows_local // rows_inner)
 
     def shard_body(scene, geom, cam, sample_batch):
         px_rank = jax.lax.axis_index("px")
         sp_rank = jax.lax.axis_index("sp")
-        row0 = (px_rank * rows_local).astype(jnp.int32)
-        tile_sum, rays = render_tile(
-            static, scene, cam, _trace(static, scene, geom), geom,
-            sample_batch, row0, rows_local, use_dof,
-            spp_local=spp_local,
-            sample_base=(sp_rank * spp_local).astype(jnp.uint32),
-            reduce_mean=False,
-        )
+        row_base = (px_rank * rows_local).astype(jnp.int32)
+        sample_base = (sp_rank * spp_local).astype(jnp.uint32)
+        tiles = []
+        rays = jnp.float32(0.0)
+        for i in range(n_inner):
+            rows_i = min(rows_inner, rows_local - i * rows_inner)
+            tile_i, rays_i = render_tile(
+                static, scene, cam, _trace(static, scene, geom), geom,
+                sample_batch, row_base + i * rows_inner, rows_i, use_dof,
+                spp_local=spp_local, sample_base=sample_base,
+                reduce_mean=False,
+            )
+            tiles.append(tile_i)
+            rays = rays + rays_i
+        tile_sum = tiles[0] if n_inner == 1 else jnp.concatenate(tiles, 0)
         tile_sum = jax.lax.psum(tile_sum, "sp")
         rays = jax.lax.psum(rays, ("px", "sp"))
         return tile_sum / spp, rays
@@ -94,18 +112,45 @@ def sharded_batch_fn(static: SceneStatic, mesh: Mesh, use_dof: bool):
 class MultiChipRenderer:
     """Progressive renderer sharded over a device mesh.
 
-    Matches the single-chip Renderer's semantics (same RNG streams, same
-    running-mean accumulation) — a sharded render is bit-identical to the
-    single-chip one up to float reduction order.
+    Matches the single-chip Renderer's semantics and feature set — same
+    RNG streams, same running-mean accumulation (a sharded render is
+    bit-identical to the single-chip one up to float reduction order),
+    same BVH construction, per-batch metrics, checkpoint/resume and PNG
+    export, plus the single-chip ~1M-ray dispatch budget applied WITHIN
+    each row shard.
     """
 
     def __init__(self, compiled, mesh: Optional[Mesh] = None,
-                 camera_name: Optional[str] = None):
-        from ..engine.renderer import get_batch_ray_times
+                 camera_name: Optional[str] = None,
+                 use_bvh="auto", leaf_size: int = 4,
+                 metrics_jsonl: Optional[str] = None):
+        import time as _time
 
+        from ..engine.renderer import RenderStats, get_batch_ray_times
+        from ..utils.cache import enable_compilation_cache
+        from ..utils.profiling import BatchMetrics
+
+        enable_compilation_cache()
+        self._time = _time
         self.compiled = compiled
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.scene, self.static = upload_scene(compiled)
+
+        # Same BVH policy as the single-chip Renderer (renderer.py):
+        # native SAH over the triangle soup for big meshes.
+        bvh = None
+        if use_bvh == "auto":
+            use_bvh = compiled.num_triangles > 8192
+        if use_bvh and compiled.num_triangles > 0:
+            from ..models.bvh_build import (build_bvh, build_bvh_sah,
+                                            permute_soup)
+
+            bvh = build_bvh_sah(compiled, leaf_max=8)
+            if bvh is None:
+                bvh = build_bvh(compiled, leaf_size=leaf_size)
+            compiled = permute_soup(compiled, bvh)
+            self.compiled = compiled
+        self.bvh = bvh
+        self.scene, self.static = upload_scene(compiled, bvh=bvh)
         self.batch_times = get_batch_ray_times(compiled.render.sample_batches)
 
         import dataclasses
@@ -137,21 +182,35 @@ class MultiChipRenderer:
                 )
 
         name = camera_name or compiled.render.camera
+        if name not in compiled.cameras:
+            raise KeyError(f"Camera {name} not found")
         self.camera = cam_ops.build_camera_arrays(
             compiled.cameras[name], self.static.width, self.static.height
         )
         use_dof = compiled.cameras[name].aperture_size > 0.0
         self._prepare = jax.jit(functools.partial(prepare_batch, self.static))
-        self._step = sharded_batch_fn(self.static, self.mesh, use_dof)
+
+        # Single-chip dispatch budget (~1M rays) applied per shard.
+        n_sp = self.mesh.shape["sp"]
+        spp_local = max(1, self.static.sqrt_spp ** 2 // max(1, n_sp))
+        rows_inner = max(1, (1 << 20) // (self.static.width * spp_local))
+        self._step = sharded_batch_fn(self.static, self.mesh, use_dof,
+                                      rows_inner=rows_inner)
 
         H, W = self.static.height, self.static.width
         self.accum = jnp.zeros((H, W, 3), jnp.float32)
         self.current_batch = 0
         self.rays_traced = 0.0
+        self.stats = RenderStats()
+        self.metrics = BatchMetrics(
+            pixels=W * H, spp=self.static.sqrt_spp ** 2,
+            jsonl_path=metrics_jsonl,
+        )
 
     def render_next_batch(self) -> bool:
         if self.current_batch >= self.compiled.render.sample_batches:
             return False
+        t0 = self._time.perf_counter()
         H = self.static.height
         sph_table = (
             self.sphere_tables[self.current_batch]
@@ -167,11 +226,47 @@ class MultiChipRenderer:
         img = img_pad[:H]
         b = jnp.float32(self.current_batch)
         self.accum = (b * self.accum + img) / (b + 1.0)
-        self.rays_traced += float(rays)
+        rays = float(rays)  # blocks until the batch finishes
+        dt = self._time.perf_counter() - t0
+        self.metrics.record(self.current_batch, dt, rays)
+        self.rays_traced += rays
         self.current_batch += 1
+        self.stats.batches_done += 1
+        self.stats.rays_traced += rays
+        self.stats.render_seconds += dt
         return True
 
     def render_all(self) -> np.ndarray:
         while self.render_next_batch():
             pass
         return np.asarray(self.accum)
+
+    def image(self) -> np.ndarray:
+        return np.asarray(self.accum)
+
+    def save_png(self, path: str) -> None:
+        from ..utils.image import write_png
+
+        write_png(path, self.image())
+
+    # ------------------------------------------------- checkpoint/resume
+    # Same npz format as the single-chip Renderer: checkpoints written by
+    # either renderer resume on the other.
+
+    def save_checkpoint(self, path: str) -> None:
+        np.savez(
+            path,
+            accum=self.image(),
+            current_batch=self.current_batch,
+            width=self.static.width,
+            height=self.static.height,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        if (int(data["width"]), int(data["height"])) != (
+            self.static.width, self.static.height,
+        ):
+            raise ValueError("Checkpoint resolution does not match scene")
+        self.accum = jnp.asarray(data["accum"])
+        self.current_batch = int(data["current_batch"])

@@ -49,3 +49,79 @@ def test_full_mesh_axes_used(small_scene):
     img = r.render_all()
     assert img.shape == (18, 32, 3)
     assert np.isfinite(img).all()
+
+
+def test_checkpoint_resume_matches(tmp_path, small_scene):
+    """Interrupt + resume must be byte-identical to a straight-through
+    render; checkpoints interoperate with the single-chip Renderer."""
+    ck = str(tmp_path / "ck.npz")
+    mesh = make_mesh(sp=2)
+
+    r1 = MultiChipRenderer(small_scene, mesh=mesh)
+    r1.render_next_batch()
+    r1.save_checkpoint(ck)
+
+    r2 = MultiChipRenderer(small_scene, mesh=mesh)
+    r2.load_checkpoint(ck)
+    assert r2.current_batch == 1
+    img_resumed = r2.render_all()
+
+    img_straight = MultiChipRenderer(small_scene, mesh=mesh).render_all()
+    np.testing.assert_array_equal(img_resumed, img_straight)
+
+    # Cross-renderer resume: single-chip continues a multichip checkpoint.
+    r3 = Renderer(small_scene)
+    r3.load_checkpoint(ck)
+    assert r3.current_batch == 1
+    img_cross = r3.render_all()
+    np.testing.assert_allclose(img_cross, img_straight, atol=2e-5)
+
+
+def test_metrics_and_stats_recorded(small_scene, tmp_path):
+    jl = str(tmp_path / "metrics.jsonl")
+    r = MultiChipRenderer(small_scene, mesh=make_mesh(sp=2),
+                          metrics_jsonl=jl)
+    r.render_all()
+    assert r.stats.batches_done == 2
+    assert r.stats.rays_traced > 0
+    assert r.stats.mrays_per_sec > 0
+    import json
+
+    lines = [json.loads(l) for l in open(jl)]
+    assert len(lines) == 2
+    assert lines[0]["rays"] > 0
+
+
+def test_bvh_passthrough():
+    """--multichip with mesh geometry must honor use_bvh (round 1 silently
+    brute-forced); sharded BVH render matches single-chip BVH render."""
+    sf = SceneFile.load_json(reference_asset("quads.json"))
+    sf.render.samples_per_pixel = 4
+    sf.render.sample_batches = 1
+    sf.render.max_ray_depth = 4
+    cs = compile_scene(sf, width=32, height=32)
+
+    single = Renderer(cs, use_bvh=True).render_all()
+    r = MultiChipRenderer(cs, mesh=make_mesh(sp=2), use_bvh=True)
+    assert r.bvh is not None
+    multi = r.render_all()
+    np.testing.assert_allclose(multi, single, atol=2e-5)
+
+
+def test_weak_scaling_shapes():
+    """Fixed per-device work from 1 to 8 devices: the sharded step must
+    compile and agree with the single-chip result at every mesh size (a
+    virtual-CPU functional stand-in for the weak-scaling curve)."""
+    sf = SceneFile.load_json(reference_asset("diffuse-spheres.json"))
+    sf.render.samples_per_pixel = 4
+    sf.render.sample_batches = 1
+    sf.render.max_ray_depth = 4
+    cs = compile_scene(sf, width=32, height=32)
+    want = Renderer(cs).render_all()
+    for n_dev in (1, 2, 4, 8):
+        from jax.sharding import Mesh
+
+        devs = np.asarray(jax.devices()[:n_dev]).reshape(n_dev, 1)
+        mesh = Mesh(devs, axis_names=("px", "sp"))
+        got = MultiChipRenderer(cs, mesh=mesh).render_all()
+        np.testing.assert_allclose(got, want, atol=2e-5)
