@@ -98,6 +98,14 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from .viewer import Viewer
+
+    Viewer(args.path, width=args.width, height=args.height,
+           port=args.port).serve_forever()
+    return 0
+
+
 def main(argv=None) -> int:
     logging.basicConfig(
         level=os.environ.get("LOGLEVEL", "INFO"),
@@ -125,6 +133,16 @@ def main(argv=None) -> int:
                         help="generate the RTiOW final scene files")
     pg.add_argument("--out-dir", default="assets")
     pg.set_defaults(fn=cmd_generate)
+
+    pv = sub.add_parser(
+        "view", help="interactive progressive viewer (browser; hot-swap "
+                     "+ resize like the reference's windowed app)")
+    pv.add_argument("path", nargs="?",
+                    default="/root/reference/assets/final-one-weekend.json")
+    pv.add_argument("--width", type=int, default=None)
+    pv.add_argument("--height", type=int, default=None)
+    pv.add_argument("--port", type=int, default=8000)
+    pv.set_defaults(fn=cmd_view)
 
     args = p.parse_args(argv)
     try:
