@@ -134,6 +134,11 @@ class MegaConfig:
     # level (statistical parity, not bitwise).  Used for big sphere
     # counts where the scalar loop dominates the iteration.
     use_mxu_sweep: bool = False
+    # Cluster sieve: MXU pretest on cluster BOUNDING spheres + exact
+    # per-candidate rounds (_sweep_sieve) — sub-linear in S and
+    # bit-exact vs the dense scalar sweep.  Preferred over use_mxu_sweep
+    # when the Morton-clustered layout exists (sph_prefix > 0).
+    use_sieve: bool = False
 
 
 def _fetch_rows(rowsT_ref, prim, P: int, layout):
@@ -239,6 +244,28 @@ def _sweep_selective(cfg: MegaConfig, bnd_ref, clu_ref, o: V3,
                                         if bit < 31 else jnp.int32(-2**31),
                                         0)
 
+    return _cluster_rounds(cfg, clu_ref, o, d, a, inv_a, ddo, osq,
+                           bt, bid, masks, izero)
+
+
+def _cluster_rounds(cfg: MegaConfig, clu_ref, o: V3, d: V3, a, inv_a,
+                    ddo, osq, bt, bid, masks, izero, fixed_trip=False):
+    """Pop-lowest-bit cluster visiting shared by the selective sweep and
+    the sieve: each pending lane pops its lowest set cluster bit
+    (ascending id = dense-sweep tie order), ONE one-hot MXU matmul
+    fetches the cluster's G spheres split-exactly, and the quadratic
+    test runs in the dense sweep's exact op order — results are
+    bit-identical to the dense scalar sweep.
+
+    fixed_trip counts the worst lane's candidates ONCE (popcount + one
+    cross-lane max) and runs a fori_loop — the while_loop variant pays a
+    cross-lane any() reduction EVERY round, which dominated the sieve's
+    cost on TPU."""
+    Cp = cfg.n_clusters_pad
+    G = cfg.clu_g
+    V = G * 4
+    n_words = len(masks)
+
     def any_pending(ms):
         acc = ms[0]
         for w in range(1, n_words):
@@ -306,7 +333,15 @@ def _sweep_selective(cfg: MegaConfig, bnd_ref, clu_ref, o: V3,
 
         return tuple([bt, bid] + new_ms)
 
-    out = jax.lax.while_loop(rcond, rbody, tuple([bt, bid] + masks))
+    if fixed_trip:
+        cnt = izero
+        for m in masks:
+            cnt = cnt + jax.lax.population_count(m)
+        n_rounds = jnp.max(cnt)
+        out = jax.lax.fori_loop(
+            0, n_rounds, lambda i, c: rbody(c), tuple([bt, bid] + masks))
+    else:
+        out = jax.lax.while_loop(rcond, rbody, tuple([bt, bid] + masks))
     return out[0], out[1]
 
 
@@ -328,6 +363,86 @@ def _unflat_row(r):
         [r[:, k * 128:(k + 1) * 128] for k in range(SUB)], axis=0)
 
 
+def _ray_rhs(o: V3, d: V3):
+    """[72, 2048] split ray rows for the sphere matmuls (d block then o
+    block; 9 cross-paired 8-row blocks, see _sweep_mxu.split_rows)."""
+
+    def split_rows(v: V3, last: float):
+        comps = [_flat_row(v.x), _flat_row(v.y), _flat_row(v.z),
+                 jnp.full((1, CELL), last, jnp.float32)]
+        splits = [_split3(c) for c in comps]
+        z = jnp.zeros((1, CELL), jnp.float32)
+        blocks = []
+        for _sph_level in range(3):
+            for ray_level in range(3):
+                rows = [splits[c][ray_level] for c in range(4)]
+                blocks.append(jnp.concatenate(rows + [z, z, z, z], axis=0))
+        return jnp.concatenate(blocks, axis=0)
+
+    return jnp.concatenate(
+        [split_rows(d, 0.0), split_rows(o, -0.5)], axis=1)
+
+
+def _sweep_sieve(cfg: MegaConfig, sieveT_ref, w_ref, clu_ref, o: V3, d: V3,
+                 active, a, inv_a, ddo, osq, bt, bid, nzero):
+    """Cluster-sieve sphere sweep — sub-linear AND bit-exact.
+
+    One matmul computes (c.d, c.o - k/2) for every Morton CLUSTER's
+    bounding sphere; an elementwise quadratic pass over [Cp, 1024] builds
+    a conservative per-lane candidate bitmask (disc >= -eps margin, exit
+    in front, entry before the current best t from the dense prefix),
+    reduced to packed words with one powers-of-two matmul.  The rounds
+    then fetch only candidate clusters and run the dense sweep's exact
+    per-sphere test (_cluster_rounds), so results are bit-identical to
+    the dense scalar sweep — the pretest margins only cost a few extra
+    rounds.  Measured candidate stats on final-one-weekend
+    (tools_dev/cull_study.py): mean ~3.4 clusters/ray, cell-max ~10-16.
+    """
+    Cp = cfg.n_clusters_pad
+    C = cfg.n_clusters
+
+    rhs = _ray_rhs(o, d)
+    out = jax.lax.dot_general(
+        sieveT_ref[:], rhs, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)                # [Cp, 2048]
+    cd = out[:, :CELL]
+    co2 = out[:, CELL:]
+    h = _flat_row(ddo) - cd                                # [Cp, 1024]
+    c2 = _flat_row(osq) - 2.0 * co2
+    a_f = _flat_row(a)
+    inv_a_f = _flat_row(inv_a)
+    hh = h * h
+    ac2 = a_f * c2
+    disc = hh - ac2
+    margin = 1e-4 * (hh + jnp.abs(ac2)) + 1e-8
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-h - sq) * inv_a_f
+    t2 = (-h + sq) * inv_a_f
+    bt_f = _flat_row(bt)
+    active_f = _flat_row(active.astype(jnp.float32))
+    sel = ((disc >= -margin) & (t2 > T_MIN)
+           & (t1 < bt_f * 1.0001 + 1e-4))
+    mask_f = sel.astype(jnp.float32) * active_f            # [Cp, 1024]
+
+    # powers-of-two matmul -> 16-bit half-words (exact in f32), packed
+    # into int32 mask words for the round loop.
+    words16 = jax.lax.dot_general(
+        w_ref[:], mask_f, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)                # [8, 1024]
+    n_words = -(-C // 32)
+    izero = (nzero).astype(jnp.int32)
+    masks = []
+    for w in range(n_words):
+        lo = _unflat_row(words16[2 * w:2 * w + 1]).astype(jnp.int32)
+        hi = _unflat_row(words16[2 * w + 1:2 * w + 2]).astype(jnp.int32)
+        masks.append(lo | (hi << 16))
+
+    return _cluster_rounds(cfg, clu_ref, o, d, a, inv_a, ddo, osq,
+                           bt, bid, masks, izero, fixed_trip=True)
+
+
 def _sweep_mxu(cfg: MegaConfig, sphT_ref, o: V3, d: V3,
                a, inv_a, ddo, osq, bt, bid):
     """All-sphere closest hit with the dot products on the MXU.
@@ -342,26 +457,10 @@ def _sweep_mxu(cfg: MegaConfig, sphT_ref, o: V3, d: V3,
 
     Replaces ~35 scalar ops/sphere with ~21 [S,1024] passes + the
     min/argmin reduction.  Tie-break matches the scalar sweep (argmin
-    picks the lowest sphere id)."""
-
-    def split_rows(v: V3, last: float):
-        """[72, 1024]: nine 8-row blocks (one per sphere-split x ray-split
-        cross-product pairing; rows 4-7 of each block are zero pads so
-        every concat offset is 8-aligned for Mosaic).  Block order matches
-        build_mega_tables' sphT layout."""
-        comps = [_flat_row(v.x), _flat_row(v.y), _flat_row(v.z),
-                 jnp.full((1, CELL), last, jnp.float32)]
-        splits = [_split3(c) for c in comps]           # [4][3] of (1,1024)
-        z = jnp.zeros((1, CELL), jnp.float32)
-        blocks = []
-        for _sph_level in range(3):
-            for ray_level in range(3):
-                rows = [splits[c][ray_level] for c in range(4)]
-                blocks.append(jnp.concatenate(rows + [z, z, z, z], axis=0))
-        return jnp.concatenate(blocks, axis=0)         # [72, 1024]
-
-    rhs = jnp.concatenate(
-        [split_rows(d, 0.0), split_rows(o, -0.5)], axis=1)   # [72, 2048]
+    picks the lowest sphere id).  Row layout: nine 8-row cross-product
+    blocks, rows 4-7 of each zero-padded so every concat offset is
+    8-aligned for Mosaic (see _ray_rhs / build_mega_tables)."""
+    rhs = _ray_rhs(o, d)                               # [72, 2048]
     out = jax.lax.dot_general(
         sphT_ref[:], rhs, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.DEFAULT,
@@ -389,8 +488,8 @@ def _sweep_mxu(cfg: MegaConfig, sphT_ref, o: V3, d: V3,
             jnp.where(better, bid_m, bid))
 
 
-def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, bnd_ref, clu_ref, tri_ref,
-           o: V3, d: V3, active, nzero):
+def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref,
+           clu_ref, tri_ref, o: V3, d: V3, active, nzero):
     """Closest hit: scalar-loop sweep over SMEM tables, unrolled x8.
 
     With use_mxu_sweep the sphere block goes through _sweep_mxu (dot
@@ -443,7 +542,17 @@ def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, bnd_ref, clu_ref, tri_ref,
                 bid = jnp.where(better, si, bid)
             return bt, bid
 
-        if cfg.use_mxu_sweep:
+        if cfg.use_sieve:
+            # Dense prefix first (scalar, bit-exact) seeds bt for the
+            # sieve's entry-distance prune.
+            n_pref8 = min(-(-cfg.n_prefix // 8), S8 // 8)
+            def pref_chunk(ci, carry):
+                return sph_8(ci, *carry)
+            bt, bid = jax.lax.fori_loop(0, n_pref8, pref_chunk, (bt, bid))
+            bt, bid = _sweep_sieve(
+                cfg, sieveT_ref, w_ref, clu_ref, o, d, active,
+                a, inv_a, ddo, osq, bt, bid, nzero)
+        elif cfg.use_mxu_sweep:
             bt, bid = _sweep_mxu(
                 cfg, sphT_ref, o, d, a, inv_a, ddo, osq, bt, bid)
         elif cfg.use_sel:
@@ -602,9 +711,10 @@ def _rowsT_m8(cfg: MegaConfig) -> int:
     return -(-m // 8) * 8
 
 
-def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, bnd_ref, clu_ref,
-                 tri_ref, rowsT_ref, o2w_ref, light_ref, pix_ref, rx_ref,
-                 ry_ref, rz_ref, tr_ref, it_ref, *, cfg: MegaConfig):
+def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
+                 bnd_ref, clu_ref, tri_ref, rowsT_ref, o2w_ref, light_ref,
+                 pix_ref, rx_ref, ry_ref, rz_ref, tr_ref, it_ref, *,
+                 cfg: MegaConfig):
     """Persistent-lane path tracer: one lane owns q_pix PIXELS and traces
     each pixel's spp_local*n_batches samples sequentially (pixel after
     pixel), regenerating a fresh camera ray the moment a sample
@@ -688,7 +798,8 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, bnd_ref, clu_ref,
         iters = iters + 1.0
 
         bt, prim, is_sphere, bu, bv, tp = _sweep(
-            cfg, sph_ref, sphT_ref, bnd_ref, clu_ref, tri_ref, ray_o, ray_d,
+            cfg, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref, clu_ref,
+            tri_ref, ray_o, ray_d,
             active, nzero)
         missed = bt >= T_MAX
         acc = vec3.where(active & missed, acc + thr * bg, acc)
@@ -913,29 +1024,85 @@ def build_mega_tables(cfg, static, scene, geom):
         light = light.at[:L, 1].set(scene.light_alias.astype(jnp.float32))
         light = light.at[:L, 2:11].set(scene.light_tri_packed[:, 0:9])
 
-    if cfg.use_sel:
+    if cfg.use_sel or cfg.use_sieve:
         bounds, cluT = build_cluster_tables(cfg, geom.sph_table8)
     else:
         bounds = geom.sph_bounds8
         cluT = jnp.zeros((8, 128), jnp.float32)
 
-    if cfg.use_mxu_sweep:
-        # [72, S_pad] split-exact sphere rows for the MXU sweep: nine
-        # 8-row blocks of (cx, cy, cz, k, 0, 0, 0, 0), sphere-split level
-        # repeated 3x so every cross-product with the ray-side triple
-        # pairs up in the contraction (_sweep_mxu.split_rows order).
-        g = geom.sph_table8[:, (0, 1, 2, 4)].T                # [4, S8]
-        hi, mid, lo = _split3(g)
-        z4 = jnp.zeros_like(g)
+    def split72(g4):
+        """[4, N] field rows -> [72, N] nine 8-row cross-product blocks
+        (sphere-split level repeated 3x, zero-padded to 8-aligned rows,
+        matching _ray_rhs' layout)."""
+        hi, mid, lo = _split3(g4)
+        z4 = jnp.zeros_like(g4)
         blocks = []
         for lvl in (hi, mid, lo):
-            b8 = jnp.concatenate([lvl, z4], axis=0)           # [8, S8]
+            b8 = jnp.concatenate([lvl, z4], axis=0)
             blocks += [b8, b8, b8]
-        sphT = jnp.concatenate(blocks, axis=0)                # [72, S8]
+        return jnp.concatenate(blocks, axis=0)
+
+    if cfg.use_mxu_sweep:
+        # Split-exact per-sphere rows for the dense MXU sweep.
+        sphT = split72(geom.sph_table8[:, (0, 1, 2, 4)].T)    # [72, S8]
     else:
         sphT = jnp.zeros((8, 128), jnp.float32)
-    return (rowsT, geom.sph_table8, sphT, bounds, cluT, geom.tri_table16,
-            geom.inst_o2w_rows, light)
+
+    if cfg.use_sieve:
+        C, Cp, G = cfg.n_clusters, cfg.n_clusters_pad, cfg.clu_g
+        S8 = geom.sph_table8.shape[0]
+        take = min(C * G, S8 - cfg.n_prefix)
+        grid = geom.sph_table8[cfg.n_prefix:cfg.n_prefix + take]
+        pad = C * G - grid.shape[0]
+        if pad > 0:
+            fill = jnp.zeros((pad, 8), jnp.float32).at[:, 4].set(BIGF)
+            grid = jnp.concatenate([grid, fill], axis=0)
+        g = grid.reshape(C, G, 8)
+        c = g[..., 0:3]
+        r = jnp.abs(g[..., 3:4])
+        valid = g[..., 4:5] < 1e37
+        mn = jnp.min(jnp.where(valid, c - r, BIGF), axis=1)
+        mx = jnp.max(jnp.where(valid, c + r, -BIGF), axis=1)
+        anyv = valid[:, :, 0].any(axis=1)
+        bc = jnp.where(anyv[:, None], 0.5 * (mn + mx), 0.0)   # [C, 3]
+        dist = jnp.linalg.norm(c - bc[:, None, :], axis=-1)
+        br = jnp.max(jnp.where(valid[:, :, 0], dist + r[:, :, 0], 0.0),
+                     axis=1)
+        br = br * 1.0001 + 1e-5                               # conservative
+        kc = jnp.where(anyv, jnp.sum(bc * bc, axis=1) - br * br, BIGF)
+        g4 = jnp.concatenate([bc.T, kc[None, :]], axis=0)     # [4, C]
+        if Cp > C:
+            g4 = jnp.pad(g4, ((0, 0), (0, Cp - C)),
+                         constant_values=0.0)
+            g4 = g4.at[3, C:].set(BIGF)
+        sieveT = split72(g4)                                  # [72, Cp]
+        # Mask-reduction weights: rows (2w, 2w+1) hold the low/high
+        # 16-bit powers of two for word w (values <= 2^15, exact in
+        # bf16 and in f32 accumulation); rows padded to a multiple of 8.
+        n_words = -(-C // 32)
+        w_rows = -(-(2 * n_words) // 8) * 8
+        w_np = np.zeros((w_rows, Cp), np.float32)
+        for ci in range(C):
+            word, bit = divmod(ci, 32)
+            row = 2 * word + (1 if bit >= 16 else 0)
+            w_np[row, ci] = float(1 << (bit % 16))
+        w_tbl = jnp.asarray(w_np)
+    else:
+        sieveT = jnp.zeros((8, 128), jnp.float32)
+        w_tbl = jnp.zeros((8, 128), jnp.float32)
+    # SMEM diet: the scalar sphere table is only read for the dense
+    # prefix under sieve/mxu modes (SMEM is 1MB and charges ~64B/scalar
+    # — a full 2k-sphere table alone would blow it), and the o2w table
+    # only feeds NEE.
+    sph_smem = geom.sph_table8
+    if cfg.use_sieve or cfg.use_mxu_sweep:
+        rows = max(8, -(-cfg.n_prefix // 8) * 8)
+        sph_smem = sph_smem[:rows]
+    o2w = geom.inst_o2w_rows
+    if not cfg.has_lights:
+        o2w = jnp.zeros((8, 12), jnp.float32)
+    return (rowsT, sph_smem, sphT, sieveT, w_tbl, bounds, cluT,
+            geom.tri_table16, o2w, light)
 
 
 @functools.partial(
@@ -943,8 +1110,8 @@ def build_mega_tables(cfg, static, scene, geom):
     static_argnames=("cfg", "n_cells", "interpret"),
 )
 def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
-                  sph, sphT, bnd, clu, tri, o2w, light, pix_tbl,
-                  interpret=False):
+                  sph, sphT, sieveT, w_tbl, bnd, clu, tri, o2w, light,
+                  pix_tbl, interpret=False):
     """One pallas_call over n_cells grid cells (n_cells*1024 rays).
 
     Returns (rad V3 of [n_cells*1024], traced [n_cells*1024])."""
@@ -963,6 +1130,10 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
             smem(),                                           # spheres [S8,8]
             pl.BlockSpec(sphT.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),            # MXU sphere tbl
+            pl.BlockSpec(sieveT.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # sieve clusters
+            pl.BlockSpec(w_tbl.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # mask weights
             smem(),                                           # cluster bounds
             pl.BlockSpec(clu.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),            # cluster fetch
@@ -979,7 +1150,8 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
         out_shape=[qshape, qshape, qshape, qshape,
                    jax.ShapeDtypeStruct((n_cells * SUB, 128), jnp.float32)],
         interpret=interpret,
-    )(cam_tbl, params, sph, sphT, bnd, clu, tri, rowsT, o2w, light, pix_tbl)
+    )(cam_tbl, params, sph, sphT, sieveT, w_tbl, bnd, clu, tri, rowsT,
+      o2w, light, pix_tbl)
     rx, ry, rz, tr, it = outs
     flatq = lambda x: x.reshape(n_cells * Q * CELL)
     return (V3(flatq(rx), flatq(ry), flatq(rz)), flatq(tr),
@@ -997,13 +1169,25 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     n_prefix = int(getattr(static, "sph_prefix", 0))
     use_sel = (n_prefix > 0
                and _os.environ.get("MEGA_SEL", "0") == "1")
+    # Cluster sieve (opt-in, MEGA_SIEVE=1): MXU bounding-sphere pretest
+    # + exact candidate rounds.  Bit-exact vs the dense scalar sweep and
+    # structurally sub-linear, but measured SLOWER than the dense MXU
+    # sweep at every tested size (82 vs 151 Mrays/s at S=488, 32 vs 50
+    # at S=1940): a cell pays the WORST lane's candidate count per
+    # bounce (~3.5x the mean) and each round's one-hot fetch costs as
+    # much as ~25 dense sphere rows.  Kept as the measured data point
+    # for why TPU wavefronts prefer dense MXU sweeps over per-lane
+    # BVH-style traversal at these scene sizes.
+    use_sieve = (n_prefix > 0 and not use_sel
+                 and _os.environ.get("MEGA_SIEVE", "0") == "1")
     G = int(_os.environ.get("MEGA_G", "8"))
     n_local = int(static.num_spheres) - n_prefix
-    C = -(-n_local // G) if use_sel else 0
+    C = -(-n_local // G) if (use_sel or use_sieve) else 0
     # MXU sweep pays one matmul + ~21 [S,1024] passes regardless of S;
     # it beats the ~35-op/sphere scalar loop once S is large enough that
     # the loop dominates the iteration.
-    use_mxu = (not use_sel and int(static.num_spheres) >= 64
+    use_mxu = (not use_sel and not use_sieve
+               and int(static.num_spheres) >= 64
                and _os.environ.get("MEGA_MXU", "1") == "1")
     return MegaConfig(
         s_pad=int(scene.sph_center.shape[0]),
@@ -1027,6 +1211,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         n_clusters=C,
         n_clusters_pad=max(128, -(-C // 128) * 128),
         use_mxu_sweep=use_mxu,
+        use_sieve=use_sieve,
     )
 
 
@@ -1119,11 +1304,11 @@ def render_tile_mega(
                           constant_values=n_pix)
     pix_tbl2 = pix_tbl.reshape(n_cells * q_pix * SUB, 128)
 
-    rowsT, sph, sphT, bnd, clu, tri, o2w, light = build_mega_tables(
-        cfg, static, scene, geom)
+    (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, o2w,
+     light) = build_mega_tables(cfg, static, scene, geom)
     psum, traced, iters = mega_dispatch(
-        cfg, n_cells, cam_tbl, params, rowsT, sph, sphT, bnd, clu, tri,
-        o2w, light, pix_tbl2, interpret=interpret,
+        cfg, n_cells, cam_tbl, params, rowsT, sph, sphT, sieveT, w_tbl,
+        bnd, clu, tri, o2w, light, pix_tbl2, interpret=interpret,
     )
     rays_traced = jnp.sum(traced)
 

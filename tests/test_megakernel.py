@@ -128,6 +128,32 @@ def test_qpix_lanes_bitwise():
     np.testing.assert_array_equal(np.asarray(base), np.asarray(got_s))
 
 
+def test_sieve_bitwise_vs_dense():
+    """The opt-in cluster sieve (MEGA_SIEVE=1) must be bit-identical to
+    the dense scalar sweep: the pretest is conservative and the rounds
+    rerun the dense test in id order."""
+    import os
+
+    cs, scene, static, cam, geom, use_dof = _setup(
+        "final-one-weekend.json", width=48, height=27, depth=5)
+    assert static.sph_prefix > 0
+    os.environ["MEGA_SIEVE"] = "0"
+    os.environ["MEGA_MXU"] = "0"
+    try:
+        base, rays0, _, _ = render_tile_mega(
+            static, scene, geom, cam, jnp.int32(0), jnp.int32(0),
+            static.height, use_dof, interpret=True)
+        os.environ["MEGA_SIEVE"] = "1"
+        got, rays1, _, _ = render_tile_mega(
+            static, scene, geom, cam, jnp.int32(0), jnp.int32(0),
+            static.height, use_dof, interpret=True)
+    finally:
+        os.environ.pop("MEGA_SIEVE", None)
+        os.environ.pop("MEGA_MXU", None)
+    assert float(rays0) == float(rays1)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
 def test_unsupported_scenes_gated():
     """Image/noise-texture scenes must not enter the megakernel path."""
     for name in ["earth.json", "perlin-spheres.json", "simple-light.json"]:
