@@ -144,13 +144,16 @@ class MegaConfig:
 def _fetch_rows(rowsT_ref, prim, P: int, layout):
     """One-hot MXU fetch as a SINGLE default-precision matmul.
 
-    rowsT_ref rows: [shading slots | geo hi | geo lo] (build_mega_tables).
-    The one-hot is 0/1 (exact in bf16) and accumulation is f32, so every
-    fetched value is exactly bf16(row) — shading rows use that directly,
-    geometry rows reconstruct ~16-bit-mantissa values as hi+lo.
+    rowsT_ref rows: [shading | geo hi | geo lo | exact hi | exact mid |
+    exact lo] (build_mega_tables).  The one-hot is 0/1 (exact in bf16)
+    and accumulation is f32, so every fetched value is exactly
+    bf16(row) — shading rows use that directly, geometry rows
+    reconstruct ~16-bit-mantissa values as hi+lo, and "exact" rows
+    (texture aux values whose error a sin()/floor() would amplify, e.g.
+    noise scales) reconstruct full f32 via a _split3 triple.
     Eight per-sublane matmuls were MXU-latency-bound (~23 ns/ray measured);
     lane-concatenating the one-hots makes it one [M,P]@[P,1024] call."""
-    shade, geo = layout
+    shade, geo, exact = layout
     io = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
     oh = jnp.concatenate(
         [(io == prim[k:k + 1, :]).astype(jnp.float32) for k in range(SUB)],
@@ -169,7 +172,13 @@ def _fetch_rows(rowsT_ref, prim, P: int, layout):
     nsh = len(shade)
     ngeo = len(geo)
     for r, j in enumerate(geo):
-        slots[j] = row(nsh + r) + row(nsh + ngeo + r)
+        slots[j] = (row(nsh + r) + row(nsh + ngeo + r)
+                    + row(nsh + 2 * ngeo + r))
+    nex = len(exact)
+    base = nsh + 3 * ngeo
+    for r, j in enumerate(exact):
+        slots[j] = (row(base + r) + row(base + nex + r)
+                    + row(base + 2 * nex + r))
     return slots
 
 
@@ -679,20 +688,25 @@ _SHADE_SLOTS = tuple(range(28))
 
 
 def _fetch_layout(cfg: MegaConfig):
-    """(shading slots, geometry slots) fetched per hit.
+    """(shading, geometry, exact) slots fetched per hit.
 
     Shading constants tolerate one bf16 matmul pass (<=2e-3 relative:
-    albedo/fuzz tints, checker scales; inst/mat ids are small ints, exact
-    in bf16).  GEOMETRY (w2o, sphere center/radius, triangle normals) does
-    not — a 2e-3 center error is ~6 deg of normal tilt on a 0.2-radius
-    sphere — so those rows ride as exact hi/lo bf16 pairs (~16-bit
-    mantissa, 0.05 deg).  Everything still fits ONE default-precision
+    albedo/fuzz tints; inst/mat ids are small ints, exact in bf16).
+    GEOMETRY (w2o, sphere center/radius, triangle normals) and texture
+    AUX values feeding sin()/floor() (noise scales, checker scales)
+    ride as full-exact _split3 triples — bf16-rounded geometry tilts
+    normals on non-identity transforms and a bf16 scale shifts every
+    noise stripe visibly.  Everything still fits ONE default-precision
     one-hot matmul."""
-    shade = {0, 1, 2, 3, 4, 5, 6, 7, 11, 12}
+    shade = {0, 1, 2, 3, 4, 5, 6, 7, 11}
+    exact = {12}
     if cfg.flags.has_emissive:
-        shade.update({8, 9, 10, 15, 16})
+        shade.update({8, 9, 10, 15})
+        exact.add(16)
     if cfg.flags.has_checker:
-        shade.update(range(17, 28))
+        shade.update(range(18, 25))
+        exact.update({17, 25, 27})
+        shade.add(26)
     if cfg.has_lights:
         shade.add(_SLOT_INST)
     geo = set()
@@ -702,12 +716,13 @@ def _fetch_layout(cfg: MegaConfig):
         geo.add(_SLOT_R)
     if cfg.n_tris:
         geo.update(range(_SLOT_TRIN, _SLOT_TRIN + 9))
-    return tuple(sorted(shade)), tuple(sorted(geo))
+    return (tuple(sorted(shade)), tuple(sorted(geo)),
+            tuple(sorted(exact)))
 
 
 def _rowsT_m8(cfg: MegaConfig) -> int:
-    shade, geo = _fetch_layout(cfg)
-    m = len(shade) + 2 * len(geo)
+    shade, geo, exact = _fetch_layout(cfg)
+    m = len(shade) + 3 * len(geo) + 3 * len(exact)
     return -(-m // 8) * 8
 
 
@@ -1005,12 +1020,13 @@ def build_mega_tables(cfg, static, scene, geom):
         T = min(att.shape[0], P - s_pad)
         prim_rows = prim_rows.at[s_pad:s_pad + T, _SLOT_TRIN:_SLOT_TRIN + 9].set(
             att[:T, 0:9])
-    shade, geo = _fetch_layout(cfg)
+    shade, geo, exact = _fetch_layout(cfg)
     shadeT = prim_rows[:, list(shade)].T
     geoT = prim_rows[:, list(geo)].T
-    hi = geoT.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = geoT - hi
-    rowsT = jnp.concatenate([shadeT, hi, lo], axis=0)
+    hi, mid, lo = _split3(geoT)
+    exT = prim_rows[:, list(exact)].T
+    ehi, emid, elo = _split3(exT)
+    rowsT = jnp.concatenate([shadeT, hi, mid, lo, ehi, emid, elo], axis=0)
     M = rowsT.shape[0]
     M8 = -(-M // 8) * 8
     if M8 > M:
@@ -1217,11 +1233,12 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
 
 def megakernel_supported(static, compiled=None) -> bool:
     """Static gate: scenes the fused kernel covers (the rest fall back to
-    the XLA wavefront).  Excluded: image textures (atlas gathers), noise
-    (perlin needs [R,3] temps), BVH/mesh mode, object-space spheres
-    (non-uniform scale), huge SMEM tables, NEE over many instances."""
+    the XLA wavefront).  Excluded: image textures (atlas gathers),
+    BVH/mesh mode, object-space spheres (non-uniform scale), huge SMEM
+    tables, NEE over many instances.  Noise textures run in-kernel via
+    the component-wise Perlin (ops/perlin.cnoise_v3)."""
     f = static.flags
-    if f.has_image or f.has_noise:
+    if f.has_image:
         return False
     if static.bvh_mode != "none" or not static.use_fat_shading:
         return False

@@ -111,3 +111,68 @@ def turbulence(p, depth: int = 7):
         weight *= 0.5
         q = q * 2.0
     return jnp.abs(accum)
+
+
+# ---- component-wise variant (megakernel-compatible) ----
+#
+# cnoise/turbulence above operate on [..., 3] stacks; inside the Pallas
+# megakernel every value is an (8,128) lane tile and stacking would
+# create 3-D arrays Mosaic can't lower.  These mirrors apply the SAME
+# expression tree per element with scalar components, so they are
+# bitwise-identical to the stacked versions (verified by test_perlin).
+
+def cnoise_v3(px, py, pz):
+    """Classic Perlin noise on separate component arrays."""
+    fpx, fpy, fpz = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
+    x0i, y0i, z0i = _mod289(fpx), _mod289(fpy), _mod289(fpz)
+    x1i, y1i, z1i = (_mod289(fpx + 1.0), _mod289(fpy + 1.0),
+                     _mod289(fpz + 1.0))
+    x0, y0, z0 = px - fpx, py - fpy, pz - fpz
+    x1, y1, z1 = x0 - 1.0, y0 - 1.0, z0 - 1.0
+
+    def grads(v):
+        gx = v * (1.0 / 7.0)
+        gy = (jnp.floor(gx) * (1.0 / 7.0)) % 1.0 - 0.5
+        gx = gx % 1.0
+        gz = 0.5 - jnp.abs(gx) - jnp.abs(gy)
+        sz = jnp.where(gz <= 0.0, 1.0, 0.0)
+        gx = gx - sz * (jnp.where(gx >= 0.0, 1.0, 0.0) - 0.5)
+        gy = gy - sz * (jnp.where(gy >= 0.0, 1.0, 0.0) - 0.5)
+        return gx, gy, gz
+
+    # corner order matches cnoise's lanes: (x0,y0) (x1,y0) (x0,y1) (x1,y1)
+    corners = [(x0i, y0i), (x1i, y0i), (x0i, y1i), (x1i, y1i)]
+    n = {}
+    for idx, (cx, cy) in enumerate(corners):
+        ixy = _permute(_permute(cx) + cy)
+        for zi, (czi, cz, tag) in enumerate(
+                [(z0i, z0, "0"), (z1i, z1, "1")]):
+            gx, gy, gz = grads(_permute(ixy + czi))
+            norm = _taylor_inv_sqrt(gx * gx + gy * gy + gz * gz)
+            gx, gy, gz = gx * norm, gy * norm, gz * norm
+            xx = x1 if idx in (1, 3) else x0
+            yy = y1 if idx in (2, 3) else y0
+            key = ("1" if idx in (1, 3) else "0") + \
+                  ("1" if idx in (2, 3) else "0") + tag
+            n[key] = gx * xx + gy * yy + gz * cz
+
+    fx, fy, fz = _fade(x0), _fade(y0), _fade(z0)
+    mix = lambda a, b, t: a + (b - a) * t
+    nz00 = mix(n["000"], n["001"], fz)
+    nz10 = mix(n["100"], n["101"], fz)
+    nz01 = mix(n["010"], n["011"], fz)
+    nz11 = mix(n["110"], n["111"], fz)
+    ny0 = mix(nz00, nz01, fy)
+    ny1 = mix(nz10, nz11, fy)
+    return 2.2 * mix(ny0, ny1, fx)
+
+
+def turbulence_v3(px, py, pz, depth: int = 7):
+    """Component-wise turbulence (perlin.glsl:147-159)."""
+    accum = jnp.zeros_like(px)
+    weight = 1.0
+    for _ in range(depth):
+        accum = accum + weight * cnoise_v3(px, py, pz)
+        weight *= 0.5
+        px, py, pz = px * 2.0, py * 2.0, pz * 2.0
+    return jnp.abs(accum)

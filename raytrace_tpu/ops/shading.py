@@ -192,7 +192,7 @@ class ScatterV3(_NamedTuple):
 
 
 def _eval_slot_v3(flags, scene, base: V3, mode, aux, p: V3, hit_u, hit_v,
-                  p_rows=None):
+                  p_rows=None):  # p_rows kept for signature compat
     out = base
     if flags.has_image:
         idx = jnp.clip(aux.astype(jnp.int32), 0, scene.atlas.shape[0] - 1)
@@ -201,7 +201,9 @@ def _eval_slot_v3(flags, scene, base: V3, mode, aux, p: V3, hit_u, hit_v,
         ))
         out = vec3.where(mode == MODE_IMAGE, img, out)
     if flags.has_noise:
-        turb = perlin.turbulence(p_rows, 7)
+        # Component-wise turbulence: bitwise-identical to the row
+        # version and Pallas-compatible (no [...,3] stacking).
+        turb = perlin.turbulence_v3(p.x, p.y, p.z, 7)
         m = 0.5 * (1.0 + jnp.sin(aux * p.z + 10.0 * turb))
         out = vec3.where(mode == MODE_NOISE, V3(m, m, m), out)
     return out
@@ -257,9 +259,7 @@ def scatter_and_emit_v3(state, scene, flags, rows, p: V3, normal: V3,
     state, fuzz_unit = rng.random_unit_v3(state)
     state, diel_u = rng.random_float(state)
 
-    # Texture eval needs a [R,3] view of p only when noise textures exist.
-    p_rows = vec3.to_rows(p) if flags.has_noise else None
-    albedo = eval_albedo_v3(flags, scene, rows, p, hit_u, hit_v, p_rows)
+    albedo = eval_albedo_v3(flags, scene, rows, p, hit_u, hit_v)
     fuzz = _rowv3(rows, 5)
 
     is_lamb = mat_type == MAT_TYPE_LAMBERTIAN
@@ -303,7 +303,7 @@ def scatter_and_emit_v3(state, scene, flags, rows, p: V3, normal: V3,
     )
 
     if flags.has_emissive:
-        emit = eval_emit_v3(flags, scene, rows, p, hit_u, hit_v, p_rows)
+        emit = eval_emit_v3(flags, scene, rows, p, hit_u, hit_v)
         gate = is_light & front_face
         emission = vec3.where(gate, emit, zero)
     else:

@@ -85,6 +85,11 @@ def test_bitwise_parity(name):
     # c.o accumulate in matmul order, so grazing hits flip at ulp level on
     # top of the usual metal/dielectric chaos — ~1-2% of pixels at depth 8.
     ("final-one-weekend.json", 48),
+    # Noise textures amplify ulp-level FMA-contraction differences between
+    # the two compiled graphs ~100x (7-octave turbulence), so the marble
+    # pattern drifts at FP-noise scale on most surfaces (measured 47
+    # pixels > 1e-4 of 2304, channel-mean diff 2.8e-5).
+    ("perlin-spheres.json", 96),
 ])
 def test_statistical_parity(name, max_bad):
     """Chaotic scenes: individual rays may diverge at FP noise level; the
@@ -155,8 +160,9 @@ def test_sieve_bitwise_vs_dense():
 
 
 def test_unsupported_scenes_gated():
-    """Image/noise-texture scenes must not enter the megakernel path."""
-    for name in ["earth.json", "perlin-spheres.json", "simple-light.json"]:
+    """Image-texture scenes must not enter the megakernel path (noise
+    runs in-kernel since the component-wise Perlin)."""
+    for name in ["earth.json"]:
         sf = SceneFile.load_json(reference_asset(name))
         cs = compile_scene(sf, width=32, height=18)
         scene, static = upload_scene(cs)
