@@ -316,9 +316,13 @@ class Renderer:
             # stays well under any device watchdog.  Balance the tile count
             # so the last tile isn't mostly padding (675 rows / budget 218
             # would otherwise render a 4th tile that is 90% waste).
+            # BVH traversal is ~30x slower per ray (gather-bound), so its
+            # budget shrinks accordingly — a whole-frame dispatch on a 2M-
+            # triangle scene crashed the TPU worker (watchdog).
             H = self.static.height
             spp = max(1, self.static.sqrt_spp ** 2)
-            budget = max(1, (1 << 20) // (self.static.width * spp))
+            ray_budget = (1 << 15) if self.bvh is not None else (1 << 20)
+            budget = max(1, ray_budget // (self.static.width * spp))
             n_tiles = max(1, -(-H // budget))
             rows_per_tile = -(-H // n_tiles)
         self.rows_per_tile = min(rows_per_tile, self.static.height)

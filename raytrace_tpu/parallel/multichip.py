@@ -193,7 +193,8 @@ class MultiChipRenderer:
         # Single-chip dispatch budget (~1M rays) applied per shard.
         n_sp = self.mesh.shape["sp"]
         spp_local = max(1, self.static.sqrt_spp ** 2 // max(1, n_sp))
-        rows_inner = max(1, (1 << 20) // (self.static.width * spp_local))
+        ray_budget = (1 << 15) if self.bvh is not None else (1 << 20)
+        rows_inner = max(1, ray_budget // (self.static.width * spp_local))
         self._step = sharded_batch_fn(self.static, self.mesh, use_dof,
                                       rows_inner=rows_inner)
 
