@@ -469,6 +469,9 @@ def _sweep_mxu(cfg: MegaConfig, sphT_ref, o: V3, d: V3,
     picks the lowest sphere id).  Row layout: nine 8-row cross-product
     blocks, rows 4-7 of each zero-padded so every concat offset is
     8-aligned for Mosaic (see _ray_rhs / build_mega_tables)."""
+    # One DEFAULT-precision pass over the 72-row split tables beats the
+    # built-in exact alternative by ~2x: Precision.HIGHEST on plain f32
+    # rows measured 10.75us/iter vs 6.2 for this arrangement.
     rhs = _ray_rhs(o, d)                               # [72, 2048]
     out = jax.lax.dot_general(
         sphT_ref[:], rhs, (((0,), (0,)), ((), ())),
