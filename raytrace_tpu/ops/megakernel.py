@@ -139,6 +139,16 @@ class MegaConfig:
     # bit-exact vs the dense scalar sweep.  Preferred over use_mxu_sweep
     # when the Morton-clustered layout exists (sph_prefix > 0).
     use_sieve: bool = False
+    # Perf-triage ablation tag (trace-time; part of the jit cache key).
+    ablate: str = ""
+    # Gather rounds: like the sieve, but each candidate round fetches its
+    # per-lane cluster's G spheres with LANE GATHERS (take_along_axis on
+    # the lane axis, bit-exact f32 — no one-hot matmul, no _split3)
+    # instead of the [3V,Cp]@[Cp,1024] fetch.  A round costs ~an eighth
+    # of the one-hot round, which flips the round-2 verdict: sub-linear
+    # candidate visiting beats the dense MXU sweep.  Requires
+    # n_clusters <= 128 (gather table width).
+    use_gather: bool = False
 
 
 def _fetch_rows(rowsT_ref, prim, P: int, layout):
@@ -354,6 +364,83 @@ def _cluster_rounds(cfg: MegaConfig, clu_ref, o: V3, d: V3, a, inv_a,
     return out[0], out[1]
 
 
+def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
+                           inv_a, ddo, osq, bt, bid, masks, izero):
+    """Pop-lowest-bit cluster visiting with LANE-GATHER sphere fetch.
+
+    cluG_ref is [G*4 rows (8-padded), 128]: row 4*s+f holds field f
+    (cx, cy, cz, k) of sphere s for clusters 0..127 along the lane axis.
+    Each pending lane pops its lowest set cluster bit (ascending id =
+    dense-sweep tie order) and gathers its cluster's G spheres directly
+    — exact f32 values, so the per-sphere quadratic is bit-identical to
+    the dense scalar sweep (sph_8 op order).
+
+    Counted fori trip (one upfront popcount + cross-lane max) per the
+    round-2 measurement that a while-cond cross-lane reduction costs
+    ~0.5us/iteration."""
+    G = cfg.clu_g
+    n_words = len(masks)
+
+    def fetch(f, ci):
+        # Load + broadcast INSIDE the loop body: keeping 4G broadcast
+        # rows live across the round loop spills the register file
+        # (measured 5x kernel slowdown); a VMEM row load is ~free.
+        row = jnp.broadcast_to(cluG_ref[f:f + 1, :], (SUB, 128))
+        return jnp.take_along_axis(row, ci, axis=1)
+
+    def rbody(i, carry):
+        bt, bid, *ms = carry
+        ci = izero
+        taken = izero == 1  # all-false
+        new_ms = []
+        for w in range(n_words):
+            m = ms[w]
+            has = (m != 0) & ~taken
+            b = m & -m
+            idx = jax.lax.population_count(b - 1) + (32 * w)
+            ci = jnp.where(has, idx, ci)
+            new_ms.append(jnp.where(has, m ^ b, m))
+            taken = taken | has
+        pending = taken
+
+        base = cfg.n_prefix + ci * G
+        for s in range(G):
+            cx = fetch(4 * s + 0, ci)
+            cy = fetch(4 * s + 1, ci)
+            cz = fetch(4 * s + 2, ci)
+            k = fetch(4 * s + 3, ci)
+            dc = cx * d.x + cy * d.y + cz * d.z
+            oc = cx * o.x + cy * o.y + cz * o.z
+            h = ddo - dc
+            c2 = osq - 2.0 * oc + k
+            disc = h * h - a * c2
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (-h - sq) * inv_a
+            t2 = (-h + sq) * inv_a
+            ok = disc >= 0.0
+            t = jnp.where(ok & (t1 > T_MIN) & (t1 < T_MAX), t1,
+                          jnp.where(ok & (t2 > T_MIN) & (t2 < T_MAX),
+                                    t2, T_MAX))
+            better = pending & (t < bt)
+            bt = jnp.where(better, t, bt)
+            bid = jnp.where(better, base + s, bid)
+        return tuple([bt, bid] + new_ms)
+
+    cnt = izero
+    for m in masks:
+        cnt = cnt + jax.lax.population_count(m)
+    tags = set(cfg.ablate.split(","))
+    if "norounds" in tags:     # perf triage: pretest cost only
+        return bt, bid + jnp.minimum(cnt, 1) * 0
+    fix = [t for t in tags if t.startswith("fixrounds")]
+    if fix:                    # perf triage: static trip count
+        n_rounds = int(fix[0].split(":")[1]) if ":" in fix[0] else 8
+    else:
+        n_rounds = jnp.max(cnt)
+    out = jax.lax.fori_loop(0, n_rounds, rbody, tuple([bt, bid] + masks))
+    return out[0], out[1]
+
+
 def _flat_row(x):
     """(8,128) lane tile -> (1,1024) row (sublane-major lane order).
 
@@ -410,11 +497,17 @@ def _sweep_sieve(cfg: MegaConfig, sieveT_ref, w_ref, clu_ref, o: V3, d: V3,
     Cp = cfg.n_clusters_pad
     C = cfg.n_clusters
 
+    tags = set(cfg.ablate.split(","))
+    if "nosieve" in tags:      # perf triage: body + prefix only
+        return bt, bid
+
     rhs = _ray_rhs(o, d)
     out = jax.lax.dot_general(
         sieveT_ref[:], rhs, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)                # [Cp, 2048]
+    if "sieve-mm" in tags:     # perf triage: rhs build + matmul only
+        return jnp.minimum(bt, _unflat_row(out[0:1, :CELL]) + BIGF), bid
     cd = out[:, :CELL]
     co2 = out[:, CELL:]
     h = _flat_row(ddo) - cd                                # [Cp, 1024]
@@ -433,6 +526,8 @@ def _sweep_sieve(cfg: MegaConfig, sieveT_ref, w_ref, clu_ref, o: V3, d: V3,
     sel = ((disc >= -margin) & (t2 > T_MIN)
            & (t1 < bt_f * 1.0001 + 1e-4))
     mask_f = sel.astype(jnp.float32) * active_f            # [Cp, 1024]
+    if "sieve-mask" in tags:   # perf triage: + quadratic passes, no pack
+        return jnp.minimum(bt, _unflat_row(mask_f[0:1]) + BIGF), bid
 
     # powers-of-two matmul -> 16-bit half-words (exact in f32), packed
     # into int32 mask words for the round loop.
@@ -448,6 +543,9 @@ def _sweep_sieve(cfg: MegaConfig, sieveT_ref, w_ref, clu_ref, o: V3, d: V3,
         hi = _unflat_row(words16[2 * w + 1:2 * w + 2]).astype(jnp.int32)
         masks.append(lo | (hi << 16))
 
+    if cfg.use_gather:
+        return _cluster_rounds_gather(cfg, clu_ref, o, d, a, inv_a, ddo,
+                                      osq, bt, bid, masks, izero)
     return _cluster_rounds(cfg, clu_ref, o, d, a, inv_a, ddo, osq,
                            bt, bid, masks, izero, fixed_trip=True)
 
@@ -580,7 +678,7 @@ def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref,
                 bid = jnp.where(better, si, bid)
             return bt, bid
 
-        if cfg.use_sieve:
+        if cfg.use_sieve or cfg.use_gather:
             # Dense prefix first (scalar, bit-exact) seeds bt for the
             # sieve's entry-distance prune.
             n_pref8 = min(-(-cfg.n_prefix // 8), S8 // 8)
@@ -779,6 +877,7 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
     """
     from . import shading
 
+    tags = set(cfg.ablate.split(","))
     Q = cfg.q_pix
     K = cfg.spp_local * cfg.n_batches
     sample_base = prm_ref[0, 7].astype(jnp.int32)
@@ -946,7 +1045,6 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         # Flush the completed sample's radiance + bounce count into its
         # pixel's output row-block (adds happen in sample order per
         # pixel, preserving bitwise parity with per-lane accumulation).
-        @pl.when(jnp.any(sample_over))
         def _flush():
             for s in range(Q):
                 m = sample_over & (qi == s)
@@ -956,6 +1054,13 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
                 ry_ref[sl, :] += jnp.where(m, acc.y, 0.0)
                 rz_ref[sl, :] += jnp.where(m, acc.z, 0.0)
                 tr_ref[sl, :] += mf * scnt
+
+        if "nowhen" in tags:
+            # Unconditional masked adds: Q*4 vector ops every iteration
+            # instead of a cross-lane any() reduction (scalar-unit sync).
+            _flush()
+        else:
+            pl.when(jnp.any(sample_over))(_flush)
 
         crossed = sample_over & (sip + 1 >= K)
         qi2 = jnp.where(crossed | jump, qi + 1, qi)
@@ -988,7 +1093,18 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
     zero3 = V3(nzero, nzero, nzero)
     init = (state, ray_o, ray_d, one3, zero3, qi0, qi0, depth0, nzero,
             nzero)
-    out = jax.lax.while_loop(cond, body, init)
+    if "dynfori" in tags:
+        # Amortize the cross-lane while-cond (a vector->scalar sync,
+        # ~0.5us) over 8 body iterations.  The inner fori bound is a
+        # TRACED scalar so Mosaic keeps one body copy (a static bound-8
+        # fori was unrolled 8x and ran 5x slower); once all lanes are
+        # done the <=7 overshoot iterations are no-ops.
+        eight = jnp.max((nzero + 8.0).astype(jnp.int32))
+        def chunk(carry):
+            return jax.lax.fori_loop(0, eight, lambda i, c: body(c), carry)
+        out = jax.lax.while_loop(cond, chunk, init)
+    else:
+        out = jax.lax.while_loop(cond, body, init)
     it_ref[:] = out[9]
 
 
@@ -1069,7 +1185,26 @@ def build_mega_tables(cfg, static, scene, geom):
         light = light.at[:L, 1].set(scene.light_alias.astype(jnp.float32))
         light = light.at[:L, 2:11].set(scene.light_tri_packed[:, 0:9])
 
-    if cfg.use_sel or cfg.use_sieve:
+    if cfg.use_gather:
+        # Lane-gather cluster table: row 4*s+f = field f (cx,cy,cz,k) of
+        # the cluster's sphere s, clusters along the lane axis (C<=128).
+        # Plain f32 — the gather fetch is bit-exact, no _split3 needed.
+        C, G = cfg.n_clusters, cfg.clu_g
+        S8 = geom.sph_table8.shape[0]
+        take = min(C * G, S8 - cfg.n_prefix)
+        grid = geom.sph_table8[cfg.n_prefix:cfg.n_prefix + take]
+        pad = C * G - grid.shape[0]
+        if pad > 0:
+            fill = jnp.zeros((pad, 8), jnp.float32).at[:, 4].set(BIGF)
+            grid = jnp.concatenate([grid, fill], axis=0)
+        fields = grid[:, (0, 1, 2, 4)].reshape(C, G * 4).T    # [4G, C]
+        rows4g = -(-(4 * G) // 8) * 8
+        cluT = jnp.zeros((rows4g, 128), jnp.float32)
+        # padding clusters keep k=BIGF so their spheres never hit
+        cluT = cluT.at[3::4, :].set(BIGF)
+        cluT = cluT.at[:4 * G, :C].set(fields)
+        bounds = geom.sph_bounds8
+    elif cfg.use_sel or cfg.use_sieve:
         bounds, cluT = build_cluster_tables(cfg, geom.sph_table8)
     else:
         bounds = geom.sph_bounds8
@@ -1093,7 +1228,7 @@ def build_mega_tables(cfg, static, scene, geom):
     else:
         sphT = jnp.zeros((8, 128), jnp.float32)
 
-    if cfg.use_sieve:
+    if cfg.use_sieve or cfg.use_gather:
         C, Cp, G = cfg.n_clusters, cfg.n_clusters_pad, cfg.clu_g
         S8 = geom.sph_table8.shape[0]
         take = min(C * G, S8 - cfg.n_prefix)
@@ -1140,7 +1275,7 @@ def build_mega_tables(cfg, static, scene, geom):
     # — a full 2k-sphere table alone would blow it), and the o2w table
     # only feeds NEE.
     sph_smem = geom.sph_table8
-    if cfg.use_sieve or cfg.use_mxu_sweep:
+    if cfg.use_sieve or cfg.use_gather or cfg.use_mxu_sweep:
         rows = max(8, -(-cfg.n_prefix // 8) * 8)
         sph_smem = sph_smem[:rows]
     o2w = geom.inst_o2w_rows
@@ -1227,11 +1362,24 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
                  and _os.environ.get("MEGA_SIEVE", "0") == "1")
     G = int(_os.environ.get("MEGA_G", "8"))
     n_local = int(static.num_spheres) - n_prefix
-    C = -(-n_local // G) if (use_sel or use_sieve) else 0
+    # Gather-round sieve (opt-in, MEGA_GATHER=1): MXU cluster pretest +
+    # per-lane lane-gather candidate rounds.  Measured 5.76 vs dense's
+    # 5.63 us/cell-iter on final-one-weekend — the cell still pays its
+    # worst lane's candidate count (~12 rounds x ~330ns) per bounce.
+    # Needs the Morton cluster layout and C <= 128 (gather table width);
+    # clu_g is bumped for big scenes so C fits.
+    use_gather = (n_prefix > 0 and not use_sel and not use_sieve
+                  and _os.environ.get("MEGA_GATHER", "0") == "1")
+    if use_gather:
+        while -(-n_local // G) > 128 and G < 64:
+            G *= 2
+        if -(-n_local // G) > 128:
+            use_gather = False
+    C = -(-n_local // G) if (use_sel or use_sieve or use_gather) else 0
     # MXU sweep pays one matmul + ~21 [S,1024] passes regardless of S;
     # it beats the ~35-op/sphere scalar loop once S is large enough that
     # the loop dominates the iteration.
-    use_mxu = (not use_sel and not use_sieve
+    use_mxu = (not use_sel and not use_sieve and not use_gather
                and int(static.num_spheres) >= 64
                and _os.environ.get("MEGA_MXU", "1") == "1")
     return MegaConfig(
@@ -1257,6 +1405,8 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         n_clusters_pad=max(128, -(-C // 128) * 128),
         use_mxu_sweep=use_mxu,
         use_sieve=use_sieve,
+        use_gather=use_gather,
+        ablate=_os.environ.get("MEGA_ABLATE", ""),
     )
 
 

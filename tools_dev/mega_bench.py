@@ -58,7 +58,7 @@ def main():
 
     f = lambda prm: mk.mega_dispatch(cfg, n_cells, cam_tbl, prm, rowsT,
                                      sph, sphT, sieveT, w_tbl, bnd, clu,
-                                     tri, o2w, light, pix_tbl)
+                                     tri, o2w, light, pix_tbl)[:2]
     t0 = time.time()
     rad, tr = f(params)
     jax.block_until_ready(tr)

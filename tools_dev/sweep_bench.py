@@ -1,0 +1,128 @@
+"""Round-3 sweep-strategy bench: one process, several MegaConfig variants,
+persistent compile cache enabled.  Each variant times mega_dispatch on
+final-one-weekend tables (identity pixel assignment, q=1).
+
+  SB_MODES=mxu,gather,gather-norounds SB_CELLS=512 python tools_dev/sweep_bench.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _env(gather="1", mxu="0", ablate=""):
+    return {"MEGA_GATHER": gather, "MEGA_MXU": mxu, "MEGA_SIEVE": "0",
+            "MEGA_SEL": "0", "MEGA_ABLATE": ablate}
+
+
+ENV_FOR_MODE = {
+    "body": _env(ablate="nosieve"),
+    "body-dynfori": _env(ablate="nosieve,dynfori"),
+    "body-nowhen": _env(ablate="nosieve,nowhen"),
+    "body-both": _env(ablate="nosieve,dynfori,nowhen"),
+    "mxu-both": _env(gather="0", mxu="1", ablate="dynfori,nowhen"),
+    "gather-both": _env(ablate="dynfori,nowhen"),
+    "mxu": {"MEGA_GATHER": "0", "MEGA_MXU": "1", "MEGA_SIEVE": "0", "MEGA_SEL": "0", "MEGA_ABLATE": ""},
+    "scalar": {"MEGA_GATHER": "0", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0", "MEGA_ABLATE": ""},
+    "sieve": {"MEGA_GATHER": "0", "MEGA_MXU": "0", "MEGA_SIEVE": "1", "MEGA_SEL": "0", "MEGA_ABLATE": ""},
+    "gather": {"MEGA_GATHER": "1", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0", "MEGA_ABLATE": ""},
+    "gather-norounds": {"MEGA_GATHER": "1", "MEGA_ABLATE": "norounds", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0"},
+    "gather-nosieve": {"MEGA_GATHER": "1", "MEGA_ABLATE": "nosieve", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0"},
+    "gather-mm": {"MEGA_GATHER": "1", "MEGA_ABLATE": "sieve-mm", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0"},
+    "gather-mask": {"MEGA_GATHER": "1", "MEGA_ABLATE": "sieve-mask", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0"},
+    "gather-fix8": {"MEGA_GATHER": "1", "MEGA_ABLATE": "fixrounds:8", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0"},
+}
+
+
+def main():
+    from raytrace_tpu.engine.arrays import upload_scene
+    from raytrace_tpu.engine.wavefront import prepare_batch
+    from raytrace_tpu.models import compile_scene
+    from raytrace_tpu.ops import megakernel as mk
+    from raytrace_tpu.ops.camera import build_camera_arrays
+    from raytrace_tpu.ops.spheres import world_sphere_tables
+    from raytrace_tpu.scene_file import SceneFile
+    from raytrace_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    depth = int(os.environ.get("SB_DEPTH", 50))
+    n_cells = int(os.environ.get("SB_CELLS", 512))
+    scene_name = os.environ.get("SB_SCENE", "final-one-weekend.json")
+    modes = os.environ.get("SB_MODES", "mxu,gather").split(",")
+
+    path = f"/root/reference/assets/{scene_name}"
+    if not os.path.exists(path):
+        path = scene_name
+    sf = SceneFile.load_json(path)
+    cs = compile_scene(sf, width=1200, height=675)
+    scene, static = upload_scene(cs)
+    static = dataclasses.replace(static, use_pallas_sweep=True,
+                                 sphere_world_mode=True)
+    tables = world_sphere_tables(cs, np.array([0.5], np.float32))
+    cam = build_camera_arrays(cs.cameras[cs.render.camera], 1200, 675)
+    geom = prepare_batch(static, scene, jnp.float32(0.5), sph_table=tables[0])
+    use_dof = cs.cameras[cs.render.camera].aperture_size > 0.0
+
+    cam_tbl = jnp.concatenate([cam.view_inverse, cam.proj_inverse], axis=0)
+    params = jnp.zeros((1, 16), jnp.float32)
+    params = params.at[0, 5].set(cam.focal_length)
+    params = params.at[0, 6].set(cam.aperture_size)
+    sky = (scene.sky_top * (1.0 - scene.sky_factor)
+           + scene.sky_bottom * scene.sky_factor)
+    params = params.at[0, 2:5].set(sky)
+    pix_tbl = jax.lax.iota(jnp.int32, n_cells * 1024).reshape(n_cells * 8, 128)
+
+    for mode in modes:
+        os.environ.update(ENV_FOR_MODE[mode])
+        cfg = mk.make_config(static, scene, use_dof)
+        cfg = dataclasses.replace(cfg, max_depth=depth, n_pix=n_cells * 1024)
+        tabs = mk.build_mega_tables(cfg, static, scene, geom)
+        (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, o2w, light) = tabs
+
+        def f(prm):
+            rad, tr, iters = mk.mega_dispatch(
+                cfg, n_cells, cam_tbl, prm, rowsT, sph, sphT, sieveT,
+                w_tbl, bnd, clu, tri, o2w, light, pix_tbl)
+            return rad, tr, iters
+
+        N = 6
+
+        @jax.jit
+        def bench(prm):
+            def step(c, _):
+                rad, tr, iters = f(prm + c * 0.0)
+                # per-cell wall iterations: lane 0 of each cell
+                cell_iters = jnp.sum(iters.reshape(n_cells, 1024)[:, 0])
+                return jnp.sum(tr) * 0.0, (jnp.sum(tr), cell_iters)
+            _c, (trs, its) = jax.lax.scan(step, jnp.float32(0), None, length=N)
+            return trs, its
+
+        t0 = time.time()
+        rad, tr, _it = f(params)
+        jax.block_until_ready(tr)
+        tcompile = time.time() - t0
+        trs, its = bench(params)
+        jax.block_until_ready(trs)
+        t0 = time.time()
+        trs, its = bench(params)
+        jax.block_until_ready(trs)
+        dt = (time.time() - t0) / N
+        total = float(jnp.sum(trs)) / N
+        iters_mean = float(jnp.sum(its)) / N
+        print(f"{mode:16s} compile {tcompile:6.1f}s | {dt*1e3:7.2f} ms/dispatch"
+              f" | {total/dt/1e6:7.1f} M ray-bounces/s"
+              f" | {dt/iters_mean*1e6:6.2f} us/cell-iter"
+              f" | mean {float(rad.x.mean()):.4f} traced/ray {total/(n_cells*1024):.2f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
