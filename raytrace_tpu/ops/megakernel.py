@@ -139,6 +139,11 @@ class MegaConfig:
     # bit-exact vs the dense scalar sweep.  Preferred over use_mxu_sweep
     # when the Morton-clustered layout exists (sph_prefix > 0).
     use_sieve: bool = False
+    # Unrolled candidate rounds (straight-line code schedules ~2x the
+    # issue rate of a dynamic-trip fori); a dynamic residual loop covers
+    # the rare cell whose worst lane exceeds it.  0 = fully dynamic
+    # (interpret mode keeps this: unrolling only slows CPU tracing).
+    rounds_unroll: int = 0
     # Perf-triage ablation tag (trace-time; part of the jit cache key).
     ablate: str = ""
     # Gather rounds: like the sieve, but each candidate round fetches its
@@ -381,11 +386,20 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
     G = cfg.clu_g
     n_words = len(masks)
 
+    tags0 = set(cfg.ablate.split(","))
+    uniform_ci = "uniformci" in tags0     # perf triage: uniform gathers
+    no_fetch = "nofetch" in tags0         # perf triage: constant values
+
     def fetch(f, ci):
         # Load + broadcast INSIDE the loop body: keeping 4G broadcast
         # rows live across the round loop spills the register file
         # (measured 5x kernel slowdown); a VMEM row load is ~free.
         row = jnp.broadcast_to(cluG_ref[f:f + 1, :], (SUB, 128))
+        if no_fetch:
+            return row + (ci & 1).astype(jnp.float32)
+        if uniform_ci:
+            return jnp.take_along_axis(row, ci * 0 + (ci[0:1, 0:1] & 127),
+                                       axis=1)
         return jnp.take_along_axis(row, ci, axis=1)
 
     def rbody(i, carry):
@@ -413,14 +427,16 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
             oc = cx * o.x + cy * o.y + cz * o.z
             h = ddo - dc
             c2 = osq - 2.0 * oc + k
-            disc = h * h - a * c2
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            # NaN-select: disc<0 makes sq NaN, every comparison below
+            # fails and t falls through to T_MAX — equivalent to the
+            # dense sweep's explicit ok/limit chain (t1<=t2 always, so
+            # t1>=T_MAX implies no hit either way), 5 fewer VPU ops.
+            sq = jnp.sqrt(h * h - a * c2)
             t1 = (-h - sq) * inv_a
             t2 = (-h + sq) * inv_a
-            ok = disc >= 0.0
-            t = jnp.where(ok & (t1 > T_MIN) & (t1 < T_MAX), t1,
-                          jnp.where(ok & (t2 > T_MIN) & (t2 < T_MAX),
-                                    t2, T_MAX))
+            t = jnp.where(t1 > T_MIN, t1,
+                          jnp.where(t2 > T_MIN, t2, T_MAX))
+            t = jnp.where(t < T_MAX, t, T_MAX)
             better = pending & (t < bt)
             bt = jnp.where(better, t, bt)
             bid = jnp.where(better, base + s, bid)
@@ -433,10 +449,23 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
     if "norounds" in tags:     # perf triage: pretest cost only
         return bt, bid + jnp.minimum(cnt, 1) * 0
     fix = [t for t in tags if t.startswith("fixrounds")]
+    unroll = [t for t in tags if t.startswith("unroll")]
     if fix:                    # perf triage: static trip count
         n_rounds = int(fix[0].split(":")[1]) if ":" in fix[0] else 8
-    else:
-        n_rounds = jnp.max(cnt)
+        out = jax.lax.fori_loop(0, n_rounds, rbody,
+                                tuple([bt, bid] + masks))
+        return out[0], out[1]
+    n_un = cfg.rounds_unroll
+    if unroll:                 # perf triage: override the unroll depth
+        n_un = int(unroll[0].split(":")[1]) if ":" in unroll[0] else 12
+    if n_un:
+        carry = tuple([bt, bid] + masks)
+        for r in range(n_un):
+            carry = rbody(r, carry)
+        residual = jnp.maximum(jnp.max(cnt) - n_un, 0)
+        out = jax.lax.fori_loop(0, residual, rbody, carry)
+        return out[0], out[1]
+    n_rounds = jnp.max(cnt)
     out = jax.lax.fori_loop(0, n_rounds, rbody, tuple([bt, bid] + masks))
     return out[0], out[1]
 
@@ -894,10 +923,9 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
             p = jnp.where(qi == s, pix_q[s], p)
         return p
 
-    def raygen(qi, sip):
-        """Seed + camera ray for sample `sip` of the lane's `qi`-th pixel
+    def raygen(pix, sip):
+        """Seed + camera ray for sample `sip` of the lane's pixel `pix`
         (identical math and RNG stream to engine.wavefront.render_tile)."""
-        pix = pix_of(qi)
         px = pix % cfg.width
         py = row0 + pix // cfg.width
         batch = batch0 + sip // cfg.spp_local
@@ -913,7 +941,8 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         )
 
     qi0 = jnp.zeros_like(pix_q[0])
-    state, ray_o, ray_d = raygen(qi0, qi0)
+    pix0 = pix_of(qi0)
+    state, ray_o, ray_d = raygen(pix0, qi0)
     nzero = ray_d.x * 0.0
     bg = V3(nzero + prm_ref[0, 2], nzero + prm_ref[0, 3], nzero + prm_ref[0, 4])
     lcount = prm_ref[0, 8]
@@ -932,8 +961,7 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
 
     def body(carry):
         (state, ray_o, ray_d, thr, acc, qi, sip, depth, scnt,
-         iters) = carry
-        pix = pix_of(qi)
+         iters, pix) = carry
         dead = pix >= cfg.n_pix
         avail = qi < Q
         active = avail & ~dead
@@ -1055,17 +1083,16 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
                 rz_ref[sl, :] += jnp.where(m, acc.z, 0.0)
                 tr_ref[sl, :] += mf * scnt
 
-        if "nowhen" in tags:
-            # Unconditional masked adds: Q*4 vector ops every iteration
-            # instead of a cross-lane any() reduction (scalar-unit sync).
-            _flush()
-        else:
-            pl.when(jnp.any(sample_over))(_flush)
+        # Unconditional masked adds: Q*4 vector ops every iteration beat
+        # gating on a cross-lane any() reduction (a vector->scalar sync;
+        # measured ~0.1us/iter on v5e).
+        _flush()
 
         crossed = sample_over & (sip + 1 >= K)
         qi2 = jnp.where(crossed | jump, qi + 1, qi)
         sip2 = jnp.where(crossed | jump, 0,
                          jnp.where(sample_over, sip + 1, sip))
+        pix2 = jnp.where(crossed | jump, pix_of(qi2), pix)
         scnt = jnp.where(sample_over, nzero, scnt)
 
         ray_o = vec3.where(cont, hp, ray_o)
@@ -1074,7 +1101,7 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         state = jnp.where(active, state2, state)
 
         regen = (sample_over | jump) & (qi2 < Q)
-        rg_state, rg_o, rg_d = raygen(qi2, sip2)
+        rg_state, rg_o, rg_d = raygen(pix2, sip2)
         state = jnp.where(regen, rg_state, state)
         ray_o = vec3.where(regen, rg_o, ray_o)
         ray_d = vec3.where(regen, rg_d, ray_d)
@@ -1084,7 +1111,7 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         depth3 = jnp.where(regen, depth0, depth2)
 
         return (state, ray_o, ray_d, thr, acc, qi2, sip2, depth3, scnt,
-                iters)
+                iters, pix2)
 
     def cond(carry):
         return jnp.sum((carry[5] < Q).astype(jnp.int32)) > 0
@@ -1092,19 +1119,16 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
     one3 = V3(nzero + 1.0, nzero + 1.0, nzero + 1.0)
     zero3 = V3(nzero, nzero, nzero)
     init = (state, ray_o, ray_d, one3, zero3, qi0, qi0, depth0, nzero,
-            nzero)
-    if "dynfori" in tags:
-        # Amortize the cross-lane while-cond (a vector->scalar sync,
-        # ~0.5us) over 8 body iterations.  The inner fori bound is a
-        # TRACED scalar so Mosaic keeps one body copy (a static bound-8
-        # fori was unrolled 8x and ran 5x slower); once all lanes are
-        # done the <=7 overshoot iterations are no-ops.
-        eight = jnp.max((nzero + 8.0).astype(jnp.int32))
-        def chunk(carry):
-            return jax.lax.fori_loop(0, eight, lambda i, c: body(c), carry)
-        out = jax.lax.while_loop(cond, chunk, init)
-    else:
-        out = jax.lax.while_loop(cond, body, init)
+            nzero, pix0)
+    # Amortize the cross-lane while-cond (a vector->scalar sync,
+    # ~0.1us/iter measured) over 8 body iterations.  The inner fori
+    # bound is a TRACED scalar so Mosaic keeps one body copy (a static
+    # bound-8 fori was unrolled 8x and ran 5x slower); once all lanes
+    # are done the <=7 overshoot iterations are no-ops.
+    eight = jnp.max((nzero + 8.0).astype(jnp.int32))
+    def chunk(carry):
+        return jax.lax.fori_loop(0, eight, lambda i, c: body(c), carry)
+    out = jax.lax.while_loop(cond, chunk, init)
     it_ref[:] = out[9]
 
 
@@ -1360,16 +1384,17 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     # BVH-style traversal at these scene sizes.
     use_sieve = (n_prefix > 0 and not use_sel
                  and _os.environ.get("MEGA_SIEVE", "0") == "1")
-    G = int(_os.environ.get("MEGA_G", "8"))
+    G = int(_os.environ.get("MEGA_G", "4"))
     n_local = int(static.num_spheres) - n_prefix
-    # Gather-round sieve (opt-in, MEGA_GATHER=1): MXU cluster pretest +
-    # per-lane lane-gather candidate rounds.  Measured 5.76 vs dense's
-    # 5.63 us/cell-iter on final-one-weekend — the cell still pays its
-    # worst lane's candidate count (~12 rounds x ~330ns) per bounce.
-    # Needs the Morton cluster layout and C <= 128 (gather table width);
-    # clu_g is bumped for big scenes so C fits.
+    # Gather-round sieve — the round-3 DEFAULT fast path: MXU cluster
+    # pretest + per-lane candidate rounds that fetch each cluster's
+    # spheres with lane gathers (bit-exact vs the dense scalar sweep).
+    # Measured 3.89 us/cell-iter at G=4 + 16 unrolled rounds vs 5.63 for
+    # the dense MXU sweep on final-one-weekend.  Needs the Morton
+    # cluster layout and C <= 128 (gather table width); clu_g is bumped
+    # for big scenes so C fits.
     use_gather = (n_prefix > 0 and not use_sel and not use_sieve
-                  and _os.environ.get("MEGA_GATHER", "0") == "1")
+                  and _os.environ.get("MEGA_GATHER", "1") == "1")
     if use_gather:
         while -(-n_local // G) > 128 and G < 64:
             G *= 2
@@ -1382,6 +1407,8 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     use_mxu = (not use_sel and not use_sieve and not use_gather
                and int(static.num_spheres) >= 64
                and _os.environ.get("MEGA_MXU", "1") == "1")
+    unroll_default = 0 if getattr(static, "pallas_interpret", False) else 16
+    rounds_unroll = int(_os.environ.get("MEGA_UNROLL", unroll_default))
     return MegaConfig(
         s_pad=int(scene.sph_center.shape[0]),
         n_spheres=int(static.num_spheres),
@@ -1406,6 +1433,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         use_mxu_sweep=use_mxu,
         use_sieve=use_sieve,
         use_gather=use_gather,
+        rounds_unroll=rounds_unroll if use_gather else 0,
         ablate=_os.environ.get("MEGA_ABLATE", ""),
     )
 

@@ -109,6 +109,98 @@ def sharded_batch_fn(static: SceneStatic, mesh: Mesh, use_dof: bool,
     return jax.jit(mapped)
 
 
+def sharded_chunk_fn(static: SceneStatic, mesh: Mesh, use_dof: bool,
+                     k: int, q: int):
+    """k-batch fused megakernel chunk, sharded like sharded_batch_fn.
+
+    The single-chip fast path's two big wins (engine.renderer
+    _cached_mega_chunk) ported to the mesh: (1) STATIC scenes fuse k
+    progressive batches into ONE kernel call whose lanes stream
+    k*spp_local samples each (the divergence tail amortizes over the
+    chunk); animated scenes lax.scan k per-batch kernel calls; (2) each
+    row shard keeps its own measured per-pixel cost history and
+    re-deals its pixels to lanes with the snake-stratified assignment
+    every chunk.
+
+    f(scene, cam, accum, pix_perm, hist, batch0, times, sph_tabs) ->
+      (accum', rays_per_batch [k], next_perm, hist')
+    accum/hist/pix_perm are row-sharded over "px"; scene/cam replicated.
+    """
+    from ..engine.renderer import _snake_perm
+    from ..ops.megakernel import render_tile_mega
+
+    n_px = mesh.shape["px"]
+    n_sp = mesh.shape["sp"]
+    spp = static.sqrt_spp ** 2
+    if spp % n_sp != 0:
+        raise ValueError(f"effective spp {spp} must be divisible by sp={n_sp}")
+    spp_local = spp // n_sp
+    rows_local = _padded_rows(static.height, n_px)
+    n_pix_local = rows_local * static.width
+    n_lanes = -(-n_pix_local // (1024 * q)) * 1024
+
+    def shard_body(scene, cam, accum, pix_perm, hist, batch0, times,
+                   sph_tabs):
+        px_rank = jax.lax.axis_index("px")
+        sp_rank = jax.lax.axis_index("sp")
+        row_base = (px_rank * rows_local).astype(jnp.int32)
+        sample_base = (sp_rank * spp_local).astype(jnp.uint32)
+
+        if not static.any_animated:
+            geom = prepare_batch(
+                static, scene, times[0],
+                sph_table=sph_tabs[0] if static.sphere_world_mode else None,
+            )
+            sum_tiles, tr, traced_pix, _it = render_tile_mega(
+                static, scene, geom, cam, batch0, row_base, rows_local,
+                use_dof, spp_local=spp_local, sample_base=sample_base,
+                reduce_mean=False, interpret=static.pallas_interpret,
+                pix_perm=pix_perm, n_batches=k, q_pix=q,
+            )
+            trs = jnp.full((k,), tr / k, jnp.float32)
+        else:
+            def step(carry, inp):
+                t, tab, _bi = inp
+                geom = prepare_batch(
+                    static, scene, t,
+                    sph_table=tab if static.sphere_world_mode else None,
+                )
+                tile, tr, traced, _it = render_tile_mega(
+                    static, scene, geom, cam, _bi, row_base, rows_local,
+                    use_dof, spp_local=spp_local, sample_base=sample_base,
+                    reduce_mean=False, interpret=static.pallas_interpret,
+                    pix_perm=pix_perm, q_pix=q,
+                )
+                return carry + tile, (tr, traced)
+
+            bids = batch0 + jnp.arange(k, dtype=jnp.int32)
+            zero = jnp.zeros((rows_local, static.width, 3), jnp.float32)
+            sum_tiles, (trs, traced_k) = jax.lax.scan(
+                step, zero, (times, sph_tabs, bids))
+            traced_pix = jnp.sum(traced_k, axis=0)
+
+        sum_tiles = jax.lax.psum(sum_tiles, "sp")
+        trs = jax.lax.psum(trs, ("px", "sp"))
+        # Cost history: every sample of a pixel is traced on this row
+        # shard (samples split over "sp"), so fold the sp-halves.
+        traced_pix = jax.lax.psum(traced_pix, "sp")
+        hist = hist + traced_pix
+        next_perm = _snake_perm(hist, q, n_lanes)
+
+        b0 = batch0.astype(jnp.float32)
+        accum = (b0 * accum + sum_tiles / spp) / (b0 + k)
+        return (accum, trs, next_perm, hist)
+
+    mapped = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P("px"), P("px"), P("px"), P(), P(), P()),
+        out_specs=(P("px"), P(), P("px"), P("px")),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 class MultiChipRenderer:
     """Progressive renderer sharded over a device mesh.
 
@@ -123,7 +215,8 @@ class MultiChipRenderer:
     def __init__(self, compiled, mesh: Optional[Mesh] = None,
                  camera_name: Optional[str] = None,
                  use_bvh="auto", leaf_size: int = 4,
-                 metrics_jsonl: Optional[str] = None):
+                 metrics_jsonl: Optional[str] = None,
+                 use_pallas_sweep: Optional[bool] = None):
         import time as _time
 
         from ..engine.renderer import RenderStats, get_batch_ray_times
@@ -155,9 +248,15 @@ class MultiChipRenderer:
 
         import dataclasses
 
+        # Mirrors the single-chip Renderer: Pallas kernels default-on on
+        # TPU; an explicit use_pallas_sweep=True on CPU runs them in
+        # interpret mode (how tests exercise the sharded megakernel on
+        # the virtual mesh).
         on_tpu = jax.default_backend() not in ("cpu",)
+        use_pallas = use_pallas_sweep if use_pallas_sweep is not None else on_tpu
         self.static = dataclasses.replace(
-            self.static, use_pallas_sweep=on_tpu, pallas_interpret=not on_tpu
+            self.static, use_pallas_sweep=use_pallas,
+            pallas_interpret=not on_tpu,
         )
 
         self.sphere_tables = None
@@ -180,6 +279,7 @@ class MultiChipRenderer:
                 self.static = dataclasses.replace(
                     self.static, use_megakernel=True
                 )
+        self._use_dof_flag = None
 
         name = camera_name or compiled.render.camera
         if name not in compiled.cameras:
@@ -188,6 +288,7 @@ class MultiChipRenderer:
             compiled.cameras[name], self.static.width, self.static.height
         )
         use_dof = compiled.cameras[name].aperture_size > 0.0
+        self._use_dof_flag = use_dof
         self._prepare = jax.jit(functools.partial(prepare_batch, self.static))
 
         # Single-chip dispatch budget (~1M rays) applied per shard.
@@ -197,6 +298,34 @@ class MultiChipRenderer:
         rows_inner = max(1, ray_budget // (self.static.width * spp_local))
         self._step = sharded_batch_fn(self.static, self.mesh, use_dof,
                                       rows_inner=rows_inner)
+
+        # Fused k-batch chunk path (megakernel only): per-shard snake
+        # cost assignment + chunked dispatch, the single-chip fast path
+        # ported to the mesh.
+        self._chunk_fns = {}
+        self._mega_q = int(__import__("os").environ.get("MEGA_Q", "32"))
+        self._cost_perm = None
+        self._traced_hist = None
+        if self.static.use_megakernel:
+            from ..engine.renderer import banded_pixel_perm
+
+            n_px = self.mesh.shape["px"]
+            rows_local = _padded_rows(self.static.height, n_px)
+            local = banded_pixel_perm(
+                rows_local, self.static.width, self._mega_q)
+            perm0 = np.tile(local, n_px)
+            sh = NamedSharding(self.mesh, P("px"))
+            self._pix_perm = jax.device_put(perm0.astype(np.int32), sh)
+            hist0 = np.zeros(
+                (n_px * rows_local * self.static.width,), np.float32)
+            self._traced_hist = jax.device_put(hist0, sh)
+            self._times_dev = jnp.asarray(self.batch_times, jnp.float32)
+            if self.sphere_tables is not None:
+                self._sph_tables_dev = jnp.asarray(
+                    self.sphere_tables, jnp.float32)
+            else:
+                B = len(self.batch_times)
+                self._sph_tables_dev = jnp.zeros((B, 1, 5), jnp.float32)
 
         H, W = self.static.height, self.static.width
         self.accum = jnp.zeros((H, W, 3), jnp.float32)
@@ -237,9 +366,64 @@ class MultiChipRenderer:
         self.stats.render_seconds += dt
         return True
 
+    CHUNK = 12
+
+    def chunk_size(self) -> int:
+        spp = max(1, self.static.sqrt_spp ** 2)
+        return max(1, min(self.CHUNK, 256 // spp))
+
+    def render_batches(self, k: int) -> int:
+        """Render up to k batches in ONE fused sharded device call
+        (megakernel path; falls back to per-batch stepping otherwise)."""
+        total = self.compiled.render.sample_batches
+        k = min(k, total - self.current_batch)
+        if k <= 0:
+            return 0
+        if not self.static.use_megakernel or k == 1:
+            done = 0
+            while done < k and self.render_next_batch():
+                done += 1
+            return done
+        t0 = self._time.perf_counter()
+        cur = self.current_batch
+        if k not in self._chunk_fns:
+            self._chunk_fns[k] = sharded_chunk_fn(
+                self.static, self.mesh, self._use_dof_flag, k, self._mega_q)
+        H = self.static.height
+        n_px = self.mesh.shape["px"]
+        rows_local = _padded_rows(H, n_px)
+        pad = n_px * rows_local - H
+        accum_pad = (jnp.concatenate(
+            [self.accum, jnp.zeros((pad, self.static.width, 3), jnp.float32)],
+            axis=0) if pad else self.accum)
+        perm = self._cost_perm if self._cost_perm is not None else self._pix_perm
+        accum_pad, trs, next_perm, hist = self._chunk_fns[k](
+            self.scene, self.camera, accum_pad, perm, self._traced_hist,
+            jnp.int32(cur), self._times_dev[cur:cur + k],
+            self._sph_tables_dev[cur:cur + k],
+        )
+        self.accum = accum_pad[:H]
+        self._cost_perm = next_perm
+        self._traced_hist = hist
+        trs = np.asarray(trs)  # blocks until the chunk finishes
+        dt = self._time.perf_counter() - t0
+        for i in range(k):
+            self.metrics.record(cur + i, dt / k, float(trs[i]))
+        self.current_batch += k
+        self.rays_traced += float(trs.sum())
+        self.stats.batches_done += k
+        self.stats.rays_traced += float(trs.sum())
+        self.stats.render_seconds += dt
+        return k
+
     def render_all(self) -> np.ndarray:
-        while self.render_next_batch():
-            pass
+        total = self.compiled.render.sample_batches
+        while self.current_batch < total:
+            if self.static.use_megakernel:
+                self.render_batches(
+                    min(self.chunk_size(), total - self.current_batch))
+            elif not self.render_next_batch():
+                break
         return np.asarray(self.accum)
 
     def image(self) -> np.ndarray:

@@ -17,9 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _env(gather="1", mxu="0", ablate=""):
+def _env(gather="1", mxu="0", ablate="", g="8"):
     return {"MEGA_GATHER": gather, "MEGA_MXU": mxu, "MEGA_SIEVE": "0",
-            "MEGA_SEL": "0", "MEGA_ABLATE": ablate}
+            "MEGA_SEL": "0", "MEGA_ABLATE": ablate, "MEGA_G": g}
 
 
 ENV_FOR_MODE = {
@@ -28,6 +28,14 @@ ENV_FOR_MODE = {
     "body-nowhen": _env(ablate="nosieve,nowhen"),
     "body-both": _env(ablate="nosieve,dynfori,nowhen"),
     "mxu-both": _env(gather="0", mxu="1", ablate="dynfori,nowhen"),
+    "gather-un12": _env(ablate="dynfori,nowhen,unroll:12"),
+    "default": _env(g="4"),
+    "gather-uniformci": _env(g="4", ablate="uniformci"),
+    "gather-nofetch": _env(g="4", ablate="nofetch"),
+    "g4-un16": _env(ablate="dynfori,nowhen,unroll:16", g="4"),
+    "g4-un24": _env(ablate="dynfori,nowhen,unroll:24", g="4"),
+    "g16-un8": _env(ablate="dynfori,nowhen,unroll:8", g="16"),
+    "gather-un16": _env(ablate="dynfori,nowhen,unroll:16"),
     "gather-both": _env(ablate="dynfori,nowhen"),
     "mxu": {"MEGA_GATHER": "0", "MEGA_MXU": "1", "MEGA_SIEVE": "0", "MEGA_SEL": "0", "MEGA_ABLATE": ""},
     "scalar": {"MEGA_GATHER": "0", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0", "MEGA_ABLATE": ""},
@@ -78,12 +86,15 @@ def main():
     sky = (scene.sky_top * (1.0 - scene.sky_factor)
            + scene.sky_bottom * scene.sky_factor)
     params = params.at[0, 2:5].set(sky)
-    pix_tbl = jax.lax.iota(jnp.int32, n_cells * 1024).reshape(n_cells * 8, 128)
+    pix_base = int(os.environ.get("SB_PIXBASE", 0))
+    pix_tbl = (jax.lax.iota(jnp.int32, n_cells * 1024)
+               + pix_base).reshape(n_cells * 8, 128)
 
     for mode in modes:
         os.environ.update(ENV_FOR_MODE[mode])
         cfg = mk.make_config(static, scene, use_dof)
-        cfg = dataclasses.replace(cfg, max_depth=depth, n_pix=n_cells * 1024)
+        cfg = dataclasses.replace(cfg, max_depth=depth,
+                                  n_pix=pix_base + n_cells * 1024)
         tabs = mk.build_mega_tables(cfg, static, scene, geom)
         (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, o2w, light) = tabs
 
