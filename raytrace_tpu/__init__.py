@@ -21,3 +21,5 @@ on device with no host round-trips per bounce.
 """
 
 __version__ = "0.1.0"
+
+from .options import KernelOptions  # noqa: E402  (public API)

@@ -115,6 +115,9 @@ class SceneStatic:
     # sphere-block split for the selective sweep (models/sphere_order.py):
     # [0, sph_prefix) dense "global" spheres, rest Morton-clustered
     sph_prefix: int = 0
+    # public kernel-strategy knobs (options.KernelOptions, env overrides
+    # already folded in); None until a Renderer attaches them
+    kernel_options: object = None
 
 
 def upload_scene(cs: CompiledScene, bvh=None, sharding=None):

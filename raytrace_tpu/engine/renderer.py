@@ -232,7 +232,9 @@ class Renderer:
         leaf_size: int = 4,
         metrics_jsonl: Optional[str] = None,
         use_pallas_sweep: Optional[bool] = None,
+        kernel_options=None,
     ):
+        from ..options import KernelOptions
         from ..utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -242,7 +244,10 @@ class Renderer:
             camera_name=camera_name, trace_builder=trace_builder,
             use_bvh=use_bvh, leaf_size=leaf_size,
             metrics_jsonl=metrics_jsonl, use_pallas_sweep=use_pallas_sweep,
+            kernel_options=kernel_options,
         )
+        self.kernel_options = (
+            (kernel_options or KernelOptions()).with_env_overrides())
         bvh = None
         # BVH only pays for itself on big triangle sets (OBJ meshes, mesh-
         # parity mode); small soups are faster as a dense sweep, and the
@@ -274,6 +279,7 @@ class Renderer:
             self.static,
             use_pallas_sweep=use_pallas,
             pallas_interpret=not on_tpu,
+            kernel_options=self.kernel_options,
         )
 
         self._use_megakernel_pref = use_pallas
@@ -337,17 +343,17 @@ class Renderer:
         self._use_dof = use_dof
         if self.static.use_megakernel:
             use_sel = (self.static.sph_prefix > 0
-                       and os.environ.get("MEGA_SEL", "0") == "1")
+                       and self.kernel_options.sweep == "selective")
+            self._mega_q = self.kernel_options.resolved_q()
             if use_sel:
                 # Selective sweep wants per-cell frustum coherence
                 # (single-pixel lanes, 32x32 spatial tiles).
-                self._mega_q = 1
                 self._pix_perm = jnp.asarray(tile_pixel_perm(
                     self.static.height, self.static.width))
             else:
-                # Dense sweep (default): q-pixel lanes with band-averaged
-                # initial assignment, snake-stratified after chunk 1.
-                self._mega_q = int(os.environ.get("MEGA_Q", "32"))
+                # Dense/gather sweep (default): q-pixel lanes with band-
+                # averaged initial assignment, snake-stratified after
+                # chunk 1.
                 self._pix_perm = jnp.asarray(banded_pixel_perm(
                     self.static.height, self.static.width, self._mega_q))
             self._mega_step = _cached_mega_step(

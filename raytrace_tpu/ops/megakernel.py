@@ -50,8 +50,6 @@ from .vec3 import V3
 CELL = 1024          # rays per grid cell, as an (8, 128) tile
 SUB = 8              # sublanes per cell
 
-import os as _os
-
 
 class _MatRef:
     """cam.view_inverse[i, j]-style scalar access into an SMEM table."""
@@ -1363,18 +1361,26 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
 
 
 def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
+    """MegaConfig from scene facts + the public KernelOptions riding on
+    `static.kernel_options` (options.py; env overrides already folded in
+    by the Renderer)."""
+    from ..options import KernelOptions
+
+    opts = static.kernel_options
+    if opts is None:
+        opts = KernelOptions().with_env_overrides()
     spp = static.sqrt_spp ** 2
     L = scene.light_prob.shape[0]
-    # Selective sweep (off by default): under the cost-sorted lane->pixel
+    n_prefix = int(getattr(static, "sph_prefix", 0))
+    sweep = opts.sweep
+    # Selective sweep (opt-in): under the cost-sorted lane->pixel
     # assignment a cell's rays span the whole image, so cluster traversal
     # pays its AABB pretest + fetch rounds without pruning — measured 137
     # (dense) vs 119 (selective) Mray-bounces/s on final-one-weekend.
-    # MEGA_SEL=1 re-enables it for spatially-coherent assignments.
-    n_prefix = int(getattr(static, "sph_prefix", 0))
-    use_sel = (n_prefix > 0
-               and _os.environ.get("MEGA_SEL", "0") == "1")
-    # Cluster sieve (opt-in, MEGA_SIEVE=1): MXU bounding-sphere pretest
-    # + exact candidate rounds.  Bit-exact vs the dense scalar sweep and
+    # Wants spatially-coherent assignments (q=1 + tiled perm).
+    use_sel = n_prefix > 0 and sweep == "selective"
+    # Cluster sieve (opt-in): MXU bounding-sphere pretest + exact one-hot
+    # candidate rounds.  Bit-exact vs the dense scalar sweep and
     # structurally sub-linear, but measured SLOWER than the dense MXU
     # sweep at every tested size (82 vs 151 Mrays/s at S=488, 32 vs 50
     # at S=1940): a cell pays the WORST lane's candidate count per
@@ -1382,9 +1388,8 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     # much as ~25 dense sphere rows.  Kept as the measured data point
     # for why TPU wavefronts prefer dense MXU sweeps over per-lane
     # BVH-style traversal at these scene sizes.
-    use_sieve = (n_prefix > 0 and not use_sel
-                 and _os.environ.get("MEGA_SIEVE", "0") == "1")
-    G = int(_os.environ.get("MEGA_G", "4"))
+    use_sieve = n_prefix > 0 and sweep == "sieve"
+    G = opts.cluster_g if opts.cluster_g is not None else 4
     n_local = int(static.num_spheres) - n_prefix
     # Gather-round sieve — the round-3 DEFAULT fast path: MXU cluster
     # pretest + per-lane candidate rounds that fetch each cluster's
@@ -1393,8 +1398,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     # the dense MXU sweep on final-one-weekend.  Needs the Morton
     # cluster layout and C <= 128 (gather table width); clu_g is bumped
     # for big scenes so C fits.
-    use_gather = (n_prefix > 0 and not use_sel and not use_sieve
-                  and _os.environ.get("MEGA_GATHER", "1") == "1")
+    use_gather = n_prefix > 0 and sweep in ("auto", "gather")
     if use_gather:
         while -(-n_local // G) > 128 and G < 64:
             G *= 2
@@ -1405,10 +1409,12 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     # it beats the ~35-op/sphere scalar loop once S is large enough that
     # the loop dominates the iteration.
     use_mxu = (not use_sel and not use_sieve and not use_gather
-               and int(static.num_spheres) >= 64
-               and _os.environ.get("MEGA_MXU", "1") == "1")
+               and (sweep == "mxu"
+                    or (sweep in ("auto", "gather") and opts.allow_mxu
+                        and int(static.num_spheres) >= 64)))
     unroll_default = 0 if getattr(static, "pallas_interpret", False) else 16
-    rounds_unroll = int(_os.environ.get("MEGA_UNROLL", unroll_default))
+    rounds_unroll = (opts.rounds_unroll if opts.rounds_unroll is not None
+                     else unroll_default)
     return MegaConfig(
         s_pad=int(scene.sph_center.shape[0]),
         n_spheres=int(static.num_spheres),
@@ -1434,7 +1440,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         use_sieve=use_sieve,
         use_gather=use_gather,
         rounds_unroll=rounds_unroll if use_gather else 0,
-        ablate=_os.environ.get("MEGA_ABLATE", ""),
+        ablate=opts.ablate,
     )
 
 

@@ -216,14 +216,18 @@ class MultiChipRenderer:
                  camera_name: Optional[str] = None,
                  use_bvh="auto", leaf_size: int = 4,
                  metrics_jsonl: Optional[str] = None,
-                 use_pallas_sweep: Optional[bool] = None):
+                 use_pallas_sweep: Optional[bool] = None,
+                 kernel_options=None):
         import time as _time
 
         from ..engine.renderer import RenderStats, get_batch_ray_times
+        from ..options import KernelOptions
         from ..utils.cache import enable_compilation_cache
         from ..utils.profiling import BatchMetrics
 
         enable_compilation_cache()
+        self.kernel_options = (
+            (kernel_options or KernelOptions()).with_env_overrides())
         self._time = _time
         self.compiled = compiled
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -257,6 +261,7 @@ class MultiChipRenderer:
         self.static = dataclasses.replace(
             self.static, use_pallas_sweep=use_pallas,
             pallas_interpret=not on_tpu,
+            kernel_options=self.kernel_options,
         )
 
         self.sphere_tables = None
@@ -303,7 +308,7 @@ class MultiChipRenderer:
         # cost assignment + chunked dispatch, the single-chip fast path
         # ported to the mesh.
         self._chunk_fns = {}
-        self._mega_q = int(__import__("os").environ.get("MEGA_Q", "32"))
+        self._mega_q = self.kernel_options.resolved_q()
         self._cost_perm = None
         self._traced_hist = None
         if self.static.use_megakernel:

@@ -134,27 +134,24 @@ def test_qpix_lanes_bitwise():
 
 
 def test_sieve_bitwise_vs_dense():
-    """The opt-in cluster sieve (MEGA_SIEVE=1) must be bit-identical to
-    the dense scalar sweep: the pretest is conservative and the rounds
-    rerun the dense test in id order."""
-    import os
+    """The opt-in cluster sieve (KernelOptions(sweep="sieve")) must be
+    bit-identical to the dense scalar sweep: the pretest is conservative
+    and the rounds rerun the dense test in id order."""
+    from raytrace_tpu.options import KernelOptions
 
     cs, scene, static, cam, geom, use_dof = _setup(
         "final-one-weekend.json", width=48, height=27, depth=5)
     assert static.sph_prefix > 0
-    os.environ["MEGA_SIEVE"] = "0"
-    os.environ["MEGA_MXU"] = "0"
-    try:
-        base, rays0, _, _ = render_tile_mega(
-            static, scene, geom, cam, jnp.int32(0), jnp.int32(0),
-            static.height, use_dof, interpret=True)
-        os.environ["MEGA_SIEVE"] = "1"
-        got, rays1, _, _ = render_tile_mega(
-            static, scene, geom, cam, jnp.int32(0), jnp.int32(0),
-            static.height, use_dof, interpret=True)
-    finally:
-        os.environ.pop("MEGA_SIEVE", None)
-        os.environ.pop("MEGA_MXU", None)
+    st_dense = dataclasses.replace(
+        static, kernel_options=KernelOptions(sweep="scalar"))
+    base, rays0, _, _ = render_tile_mega(
+        st_dense, scene, geom, cam, jnp.int32(0), jnp.int32(0),
+        static.height, use_dof, interpret=True)
+    st_sieve = dataclasses.replace(
+        static, kernel_options=KernelOptions(sweep="sieve"))
+    got, rays1, _, _ = render_tile_mega(
+        st_sieve, scene, geom, cam, jnp.int32(0), jnp.int32(0),
+        static.height, use_dof, interpret=True)
     assert float(rays0) == float(rays1)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
 
