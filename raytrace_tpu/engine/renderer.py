@@ -111,6 +111,11 @@ def _cached_mega_chunk(static, use_dof: bool, k: int, q: int):
 
     def chunk(scene, cam, accum, pix_perm, hist, batch0, times, sph_tabs):
         n_lanes = pix_perm.shape[0] // q
+        # Item mode (deferred image textures): the slot space is per
+        # (pixel, sample) and chunk-size-dependent, so the next
+        # assignment is rebuilt by the renderer (_deferred_item_perm)
+        # from the per-pixel history instead of in here.
+        deferred = bool(static.flags.has_image)
         if not static.any_animated:
             # Static scene: all k batches share geometry, so they fuse into
             # ONE kernel call whose lanes run k*spp samples each — the
@@ -132,7 +137,8 @@ def _cached_mega_chunk(static, use_dof: bool, k: int, q: int):
             # bounce counts are stochastic, so more history = stabler
             # ranks = tighter cells.
             hist = hist + traced_pix
-            next_perm = _snake_perm(hist, q, n_lanes)
+            next_perm = (pix_perm if deferred
+                         else _snake_perm(hist, q, n_lanes))
             return accum, jnp.full((k,), tr / k, jnp.float32), next_perm, hist
 
         def step(carry, inp):
@@ -155,7 +161,7 @@ def _cached_mega_chunk(static, use_dof: bool, k: int, q: int):
         accum, (trs, traced) = jax.lax.scan(
             step, accum, (times, sph_tabs, bids))
         hist = hist + jnp.sum(traced, axis=0)
-        next_perm = _snake_perm(hist, q, n_lanes)
+        next_perm = pix_perm if deferred else _snake_perm(hist, q, n_lanes)
         return accum, trs, next_perm, hist
 
     return jax.jit(chunk)
@@ -197,6 +203,27 @@ def _snake_perm(traced_pix, q: int, n_lanes: int):
     strata = order.reshape(q, n_lanes)
     rows = [strata[s] if s % 2 == 0 else strata[s][::-1] for s in range(q)]
     strata = jnp.stack(rows)                          # [q, n_lanes]
+    n_cells = n_lanes // 1024
+    return strata.reshape(q, n_cells, 1024).transpose(1, 0, 2).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _snake_perm_items(traced_pix, q: int, n_lanes: int, K: int):
+    """Item-mode variant of _snake_perm (deferred image textures): the
+    per-PIXEL cost ranks expand to each pixel's K (pixel, sample) items —
+    consecutive, so a pixel's samples stay on neighbouring lanes — then
+    snake-stratify into q strata exactly like _snake_perm."""
+    n_pix = traced_pix.shape[0]
+    order = jnp.argsort(-traced_pix).astype(jnp.int32)
+    items = (order[:, None] * K
+             + jnp.arange(K, dtype=jnp.int32)[None, :]).reshape(-1)
+    n_items = n_pix * K
+    pad = q * n_lanes - n_items
+    items = jnp.concatenate(
+        [items, jnp.full((pad,), n_items, jnp.int32)])
+    strata = items.reshape(q, n_lanes)
+    rows = [strata[s] if s % 2 == 0 else strata[s][::-1] for s in range(q)]
+    strata = jnp.stack(rows)
     n_cells = n_lanes // 1024
     return strata.reshape(q, n_cells, 1024).transpose(1, 0, 2).reshape(-1)
 
@@ -302,9 +329,11 @@ class Renderer:
         # Whole-bounce-loop megakernel: the fast path on TPU whenever the
         # scene fits its static gate (ops/megakernel.megakernel_supported).
         if self._use_megakernel_pref and trace_builder is None:
-            from ..ops.megakernel import megakernel_supported
+            from ..ops.megakernel import (deferred_image_supported,
+                                          megakernel_supported)
 
-            if megakernel_supported(self.static):
+            if (megakernel_supported(self.static)
+                    or deferred_image_supported(self.static)):
                 self.static = dataclasses.replace(
                     self.static, use_megakernel=True
                 )
@@ -341,10 +370,19 @@ class Renderer:
         self._cost_perm = None
         self._traced_hist = None
         self._use_dof = use_dof
+        self._mega_items = 1
+        self._have_hist = False
         if self.static.use_megakernel:
             use_sel = (self.static.sph_prefix > 0
                        and self.kernel_options.sweep == "selective")
             self._mega_q = self.kernel_options.resolved_q()
+            if self.static.flags.has_image:
+                # Deferred-image item mode (megakernel.
+                # deferred_image_supported): one lane slot per
+                # (pixel, sample) item so the texel post-pass can scale
+                # samples individually; per-batch steps use K=spp
+                # items/pixel.
+                self._mega_items = self.static.sqrt_spp ** 2
             if use_sel:
                 # Selective sweep wants per-cell frustum coherence
                 # (single-pixel lanes, 32x32 spatial tiles).
@@ -353,9 +391,12 @@ class Renderer:
             else:
                 # Dense/gather sweep (default): q-pixel lanes with band-
                 # averaged initial assignment, snake-stratified after
-                # chunk 1.
+                # chunk 1.  Item mode sizes the assignment over
+                # n_pix * K items (a virtual W*K-wide image keeps the
+                # band structure aligned with per-row cost).
                 self._pix_perm = jnp.asarray(banded_pixel_perm(
-                    self.static.height, self.static.width, self._mega_q))
+                    self.static.height,
+                    self.static.width * self._mega_items, self._mega_q))
             self._mega_step = _cached_mega_step(
                 self.static, use_dof, self._mega_q)
             self._traced_hist = jnp.zeros(
@@ -472,7 +513,16 @@ class Renderer:
         cur = self.current_batch
         chunk_fn = _cached_mega_chunk(
             self.static, self._use_dof, k, self._mega_q)
-        perm = self._cost_perm if self._cost_perm is not None else self._pix_perm
+        if self._mega_items > 1:
+            # Item mode: the slot count depends on how many batches fuse
+            # into this chunk, so the assignment is (re)built per call
+            # from the per-pixel cost history.
+            K_items = (self._mega_items if self.static.any_animated
+                       else self._mega_items * k)
+            perm = self._deferred_item_perm(K_items)
+        else:
+            perm = (self._cost_perm if self._cost_perm is not None
+                    else self._pix_perm)
         accum, trs, next_perm, hist = chunk_fn(
             self.scene, self.camera, self.accum, perm, self._traced_hist,
             jnp.int32(cur), self._times_dev[cur:cur + k],
@@ -483,7 +533,10 @@ class Renderer:
         # Next chunk's lanes are grouped by this chunk's measured pixel
         # cost (the perm is computed inside the fused chunk — no extra
         # dispatch round trip through the device tunnel).
-        self._cost_perm = next_perm
+        if self._mega_items > 1:
+            self._have_hist = True
+        else:
+            self._cost_perm = next_perm
         trs = np.asarray(trs)  # blocks until the chunk finishes
         dt = _time.perf_counter() - t0
         for i in range(k):
@@ -493,6 +546,19 @@ class Renderer:
         self.stats.rays_traced += float(trs.sum())
         self.stats.render_seconds += dt
         return k
+
+    def _deferred_item_perm(self, K: int):
+        """Item-mode lane assignment for K samples/pixel: snake-stratified
+        from the per-pixel cost history once a chunk has run, banded
+        before."""
+        H, W, q = self.static.height, self.static.width, self._mega_q
+        if self._have_hist:
+            n_items = H * W * K
+            n_lanes = -(-n_items // (1024 * q)) * 1024
+            return _snake_perm_items(self._traced_hist, q, n_lanes, K)
+        if K == self._mega_items:
+            return self._pix_perm
+        return jnp.asarray(banded_pixel_perm(H, W * K, q))
 
     # Fused batches per device call on the megakernel path: big enough to
     # amortize the ~100 ms/call tunnel cost AND the per-lane divergence

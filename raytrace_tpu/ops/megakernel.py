@@ -114,6 +114,13 @@ class MegaConfig:
                         # strata, so lane TOTALS equalize and the cell's
                         # slowest-lane tail shrinks: measured cross-chunk
                         # utilization 0.57 (q=1) -> 0.80 (q=8).
+    # Deferred image textures (deferred_image_supported): every lane slot
+    # is one (pixel, sample) ITEM — pix_ref entries index
+    # n_pix * spp_local * n_batches items, each rendered as a single
+    # sample into its OWN output slot, so the per-sample primary-hit
+    # texel factor can be applied by an XLA post-pass after the kernel
+    # (render_tile_mega).  cfg.n_pix then counts items, not pixels.
+    item_mode: bool = False
     # Cluster-selective sphere sweep (sub-linear in scene size): spheres
     # [0, n_prefix) are "global" and swept densely; the rest are Morton-
     # ordered clusters of clu_g spheres traversed per lane nearest-first
@@ -923,11 +930,19 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
 
     def raygen(pix, sip):
         """Seed + camera ray for sample `sip` of the lane's pixel `pix`
-        (identical math and RNG stream to engine.wavefront.render_tile)."""
-        px = pix % cfg.width
-        py = row0 + pix // cfg.width
-        batch = batch0 + sip // cfg.spp_local
-        s = sip % cfg.spp_local + sample_base
+        (identical math and RNG stream to engine.wavefront.render_tile).
+        Item mode: `pix` indexes (pixel, sample) items and carries the
+        sample id itself; `sip` stays 0."""
+        if cfg.item_mode:
+            s_all = pix % K
+            pixel = pix // K
+        else:
+            s_all = sip
+            pixel = pix
+        px = pixel % cfg.width
+        py = row0 + pixel // cfg.width
+        batch = batch0 + s_all // cfg.spp_local
+        s = s_all % cfg.spp_local + sample_base
         st = rng.init_rng(batch.astype(jnp.uint32), s.astype(jnp.uint32),
                           py.astype(jnp.uint32), px.astype(jnp.uint32),
                           cfg.width, cfg.height, cfg.spp)
@@ -1086,7 +1101,10 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         # measured ~0.1us/iter on v5e).
         _flush()
 
-        crossed = sample_over & (sip + 1 >= K)
+        if cfg.item_mode:
+            crossed = sample_over          # one sample per item slot
+        else:
+            crossed = sample_over & (sip + 1 >= K)
         qi2 = jnp.where(crossed | jump, qi + 1, qi)
         sip2 = jnp.where(crossed | jump, 0,
                          jnp.where(sample_over, sip + 1, sip))
@@ -1180,6 +1198,15 @@ def build_mega_tables(cfg, static, scene, geom):
     Returns (rowsT [M,P] compacted to _rows_needed, sph [S8,8],
     bounds [C,8], cluT, tri [T8,16], o2w [I,12], light [L8,16])."""
     prim_rows = geom.prim_rows                       # [P, 64]
+    if cfg.item_mode:
+        # Deferred image textures: MODE_IMAGE albedo slots shade as the
+        # constant 1.0 in-kernel; the per-sample texel factor lands in
+        # the XLA post-pass (render_tile_mega).
+        from ..models.shading_table import MODE_IMAGE as _MODE_IMAGE
+
+        img = prim_rows[:, 11:12] == _MODE_IMAGE
+        prim_rows = prim_rows.at[:, 2:5].set(
+            jnp.where(img, 1.0, prim_rows[:, 2:5]))
     P = prim_rows.shape[0]
     if static.has_tris:
         att = geom.tri_attr16                         # [T8,16]: n0 dn1 dn2 uv...
@@ -1415,6 +1442,16 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     unroll_default = 0 if getattr(static, "pallas_interpret", False) else 16
     rounds_unroll = (opts.rounds_unroll if opts.rounds_unroll is not None
                      else unroll_default)
+    flags = static.flags
+    item_mode = bool(flags.has_image)
+    if item_mode:
+        # Deferred image textures (deferred_image_supported): the kernel
+        # shades MODE_IMAGE albedo slots as the constant 1.0
+        # (build_mega_tables substitutes the rows) and the per-sample
+        # texel factor is applied by an XLA post-pass in
+        # render_tile_mega.  has_image=False compiles the in-kernel
+        # atlas fetch out of ops/shading.
+        flags = flags._replace(has_image=False)
     return MegaConfig(
         s_pad=int(scene.sph_center.shape[0]),
         n_spheres=int(static.num_spheres),
@@ -1430,7 +1467,8 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         max_depth=static.max_ray_depth,
         use_dof=bool(use_dof),
         has_lights=bool(static.has_lights),
-        flags=static.flags,
+        flags=flags,
+        item_mode=item_mode,
         use_sel=use_sel,
         n_prefix=n_prefix,
         clu_g=G,
@@ -1464,6 +1502,87 @@ def megakernel_supported(static, compiled=None) -> bool:
     return True
 
 
+def deferred_image_supported(static) -> bool:
+    """Gate for the deferred-image megakernel: the kernel shades
+    MODE_IMAGE albedo slots as 1.0 and an XLA post-pass multiplies each
+    sample by its primary-hit texel with ONE batched native gather per
+    dispatch — the TPU answer to the reference's bindless samplers
+    (ray_gen.glsl:193-201); a 5400x2700 atlas can neither live in VMEM
+    nor be fetched per-lane in Mosaic.
+
+    The factorization is exact only when a path can see an image texture
+    at most ONCE, which is statically provable here: the scene's single
+    instance is one analytic convex sphere, so a ray scattered off it can
+    never re-enter it (covers earth.json / earth-motion-blur.json).
+    Image scenes outside this gate render on the XLA wavefront."""
+    f = static.flags
+    if not f.has_image or f.has_checker:
+        return False
+    if static.has_lights or static.has_tris:
+        return False
+    if static.num_instances != 1 or static.num_spheres != 1:
+        return False
+    if not static.sphere_world_mode or not static.use_fat_shading:
+        return False
+    if static.bvh_mode != "none":
+        return False
+    return True
+
+
+def _deferred_image_factor(static, scene, geom, cam, sample_batch, row0,
+                           n_pix, spp_local, sample_base, n_batches,
+                           use_dof):
+    """Per-item primary-hit texel factor for deferred image textures.
+
+    Re-derives each (pixel, sample) item's camera ray — identical RNG
+    stream and camera math to the kernel's raygen — finds the primary hit
+    with the XLA tracer, and returns [n_items, 3]: the image texel where
+    the primary ray lands on a MODE_IMAGE albedo, else 1.  Multiplying
+    the kernel's albedo=1 per-sample radiance by this factor is exact for
+    scenes passing deferred_image_supported (<=1 image hit per path; the
+    texel scales every additive term of such a sample).  Matches the
+    wavefront's nearest/repeat sampler bit-for-bit (ops/textures.py ≡
+    render_engine.rs:241-247)."""
+    from ..engine import wavefront
+    from ..models.shading_table import MODE_IMAGE as _MODE_IMAGE
+    from .textures import sample_image_nearest
+
+    W, H = static.width, static.height
+    sqrt_spp = static.sqrt_spp
+    spp = sqrt_spp * sqrt_spp
+    K = spp_local * n_batches
+    n_items = n_pix * K
+    ids = jnp.arange(n_items, dtype=jnp.uint32)
+    s_all = ids % jnp.uint32(K)
+    pix = ids // jnp.uint32(K)
+    px = pix % jnp.uint32(W)
+    py = jnp.asarray(row0, jnp.uint32) + pix // jnp.uint32(W)
+    batch = (jnp.asarray(sample_batch, jnp.uint32)
+             + s_all // jnp.uint32(spp_local))
+    s = s_all % jnp.uint32(spp_local) + jnp.uint32(sample_base)
+    si = (s % sqrt_spp).astype(jnp.int32)
+    sj = (s // sqrt_spp).astype(jnp.int32)
+    state = rng.init_rng(batch, s, py, px, W, H, spp)
+    state, ray_o, ray_d = cam_ops.get_rays_v3(
+        state, cam, px.astype(jnp.int32), py.astype(jnp.int32), si, sj,
+        W, H, sqrt_spp, use_dof=use_dof)
+    # Plain-XLA trace (no nested pallas_call; the gate admits only
+    # single-sphere scenes, so this is one analytic intersection).
+    st_x = dataclasses.replace(static, use_pallas_sweep=False,
+                               use_megakernel=False)
+    trace = wavefront.make_trace_fn(st_x, scene, geom)
+    raw = trace(ray_o, ray_d, jnp.ones((n_items,), bool))
+    rec = wavefront.reconstruct_hit(st_x, scene, geom, raw, ray_o, ray_d)
+    prim = jnp.clip(raw.prim, 0, scene.shade_rows.shape[0] - 1)
+    mode = jnp.take(scene.shade_rows[:, 11], prim)
+    aux = jnp.take(scene.shade_rows[:, 12], prim)
+    idx = jnp.clip(aux.astype(jnp.int32), 0, scene.atlas.shape[0] - 1)
+    tex = sample_image_nearest(scene.atlas, scene.atlas_wh, scene.srgb_lut,
+                               idx, rec.u, rec.v)
+    sel = (~raw.missed) & (mode == _MODE_IMAGE)
+    return jnp.where(sel[:, None], tex, 1.0)
+
+
 def render_tile_mega(
     static,
     scene,
@@ -1495,9 +1614,13 @@ def render_tile_mega(
         spp_local = spp
     n_pix = rows_per_tile * W
     cfg = make_config(static, scene, use_dof, spp_local)
-    cfg = dataclasses.replace(cfg, n_pix=n_pix, n_batches=n_batches,
+    # Item mode (deferred image textures): one lane slot per
+    # (pixel, sample) item, K = spp_local * n_batches samples per pixel.
+    K_items = spp_local * n_batches if cfg.item_mode else 1
+    n_items = n_pix * K_items
+    cfg = dataclasses.replace(cfg, n_pix=n_items, n_batches=n_batches,
                               q_pix=q_pix)
-    n_cells = -(-n_pix // (CELL * q_pix))
+    n_cells = -(-n_items // (CELL * q_pix))
 
     cam_tbl = jnp.concatenate([cam.view_inverse, cam.proj_inverse], axis=0)
 
@@ -1531,7 +1654,7 @@ def render_tile_mega(
     else:
         pad = n_slots - pix_perm.shape[0]
         pix_tbl = jnp.pad(pix_perm.astype(jnp.int32), (0, pad),
-                          constant_values=n_pix)
+                          constant_values=n_items)
     pix_tbl2 = pix_tbl.reshape(n_cells * q_pix * SUB, 128)
 
     (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, o2w,
@@ -1544,16 +1667,26 @@ def render_tile_mega(
 
     if pix_perm is None:
         flat = vec3.to_rows(
-            V3(psum.x[:n_pix], psum.y[:n_pix], psum.z[:n_pix]))
-        traced_pix = traced[:n_pix]
+            V3(psum.x[:n_items], psum.y[:n_items], psum.z[:n_items]))
+        traced_pix = traced[:n_items]
     else:
-        # scatter lane results back to image order
+        # scatter lane results back to image (or item) order
         dest = pix_tbl
-        flat = jnp.zeros((n_pix, 3), jnp.float32)
+        flat = jnp.zeros((n_items, 3), jnp.float32)
         flat = flat.at[dest].set(
             jnp.stack([psum.x, psum.y, psum.z], axis=-1), mode="drop")
-        traced_pix = jnp.zeros((n_pix,), jnp.float32).at[dest].set(
+        traced_pix = jnp.zeros((n_items,), jnp.float32).at[dest].set(
             traced, mode="drop")
+
+    if cfg.item_mode:
+        # Deferred image textures: multiply each sample by its
+        # primary-hit texel (ONE batched XLA gather over the full atlas),
+        # then fold the K items of each pixel back into per-pixel sums.
+        factor = _deferred_image_factor(
+            static, scene, geom, cam, sample_batch, row0, n_pix,
+            spp_local, sample_base, n_batches, use_dof)
+        flat = (flat * factor).reshape(n_pix, K_items, 3).sum(axis=1)
+        traced_pix = traced_pix.reshape(n_pix, K_items).sum(axis=1)
 
     tile = flat.reshape(rows_per_tile, W, 3)
     if reduce_mean:

@@ -156,10 +156,13 @@ def test_sieve_bitwise_vs_dense():
     np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
 
 
-def test_unsupported_scenes_gated():
-    """Image-texture scenes must not enter the megakernel path (noise
-    runs in-kernel since the component-wise Perlin)."""
-    for name in ["earth.json"]:
+def test_image_scenes_gated_to_deferred():
+    """Image-texture scenes are excluded from the plain megakernel (no
+    in-Mosaic atlas fetch) but the single-convex-sphere earth family
+    qualifies for the deferred-texel item mode instead."""
+    from raytrace_tpu.ops.megakernel import deferred_image_supported
+
+    for name in ["earth.json", "earth-motion-blur.json"]:
         sf = SceneFile.load_json(reference_asset(name))
         cs = compile_scene(sf, width=32, height=18)
         scene, static = upload_scene(cs)
@@ -167,6 +170,62 @@ def test_unsupported_scenes_gated():
             static, use_pallas_sweep=True, sphere_world_mode=True
         )
         assert not megakernel_supported(static), name
+        assert deferred_image_supported(static), name
+
+
+def test_deferred_image_tile_parity():
+    """Deferred-texel item mode (earth.json): the kernel shades image
+    albedo as 1.0 and an XLA post-pass multiplies each (pixel, sample)
+    item by its primary-hit texel.  Exact for <=1 image hit per path, so
+    the tile must match the wavefront to FP noise (the factorization
+    changes the multiply order) with identical ray counts."""
+    from raytrace_tpu.ops.megakernel import deferred_image_supported
+
+    cs, scene, static, cam, geom, use_dof = _setup("earth.json")
+    assert deferred_image_supported(static)
+    H = static.height
+    trace_fn = make_trace_fn(static, scene, geom)
+    ref, rays_ref = render_tile(
+        static, scene, cam, trace_fn, geom,
+        jnp.int32(0), jnp.int32(0), H, use_dof,
+    )
+    got, rays_got, traced_pix, _ = render_tile_mega(
+        static, scene, geom, cam,
+        jnp.int32(0), jnp.int32(0), H, use_dof, interpret=True,
+    )
+    ref, got = np.asarray(ref), np.asarray(got)
+    assert float(rays_ref) == float(rays_got)
+    d = np.abs(ref - got).max(axis=2)
+    assert int((d > 1e-3).sum()) == 0
+    assert abs(ref.mean() - got.mean()) < 1e-5
+
+
+@pytest.mark.parametrize("name", ["earth.json", "earth-motion-blur.json"])
+def test_deferred_image_renderer(name):
+    """Renderer integration for the deferred-texel path: fused chunks
+    (item-mode lane assignment, incl. the hist-rebuilt second chunk)
+    match per-batch stepping and the XLA renderer."""
+    from raytrace_tpu.engine.renderer import Renderer
+
+    sf = SceneFile.load_json(reference_asset(name))
+    sf.render.samples_per_pixel = 4
+    sf.render.sample_batches = 4
+    sf.render.max_ray_depth = 6
+    cs = compile_scene(sf, width=48, height=27)
+
+    r_ref = Renderer(cs, use_pallas_sweep=False)
+    img_ref = r_ref.render_all()
+
+    r_f = Renderer(cs, use_pallas_sweep=True)
+    assert r_f.static.use_megakernel
+    assert r_f._mega_items == 4
+    assert r_f.render_batches(2) == 2
+    assert r_f.render_batches(2) == 2  # hist-based item perm
+    img_f = r_f.image()
+
+    assert np.isfinite(img_f).all()
+    assert np.abs(img_ref - img_f).max() < 1e-4
+    assert abs(r_ref.stats.rays_traced - r_f.stats.rays_traced) < 1.0
 
 
 def test_renderer_integration():
