@@ -49,7 +49,7 @@ def cmd_render(args) -> int:
 
         renderer = MultiChipRenderer(cs)
     else:
-        renderer = Renderer(cs)
+        renderer = Renderer(cs, debug=args.debug)
 
     if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
         renderer.load_checkpoint(args.checkpoint)
@@ -74,6 +74,11 @@ def cmd_render(args) -> int:
             break
         batch = renderer.current_batch
         log.info("batch %d/%d done", batch, total)
+        ds = getattr(renderer, "debug_stats", None)
+        if ds is not None:
+            log.info(
+                "debug: batch %d valid (max radiance %.3g of bound %.3g)",
+                batch, ds.max_radiance, ds.energy_bound)
         if args.preview_every and batch % args.preview_every == 0:
             from .utils.image import write_png
             import numpy as np
@@ -141,6 +146,10 @@ def main(argv=None) -> int:
     pr.add_argument("--multichip", action="store_true")
     pr.add_argument("--preview-every", type=int, default=0,
                     help="write the PNG every N batches (progressive preview)")
+    pr.add_argument("--debug", action="store_true",
+                    help="validate every batch (finite / non-negative / "
+                         "energy-bounded accumulation) — the reference's "
+                         "Vulkan validation-layer analogue")
     pr.set_defaults(fn=cmd_render)
 
     pg = sub.add_parser("gen-final-one-weekend",
@@ -172,6 +181,11 @@ def main(argv=None) -> int:
         if isinstance(e, SceneError):
             log.error("%s", e)
             return 2
+        from .engine.renderer import DebugValidationError
+
+        if isinstance(e, DebugValidationError):
+            log.error("debug validation failed: %s", e)
+            return 3
         raise
 
 

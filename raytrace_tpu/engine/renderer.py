@@ -235,6 +235,32 @@ def _finish_batch(height, accum, tiles, ray_counts, b):
     return (bf * accum + img) / (bf + 1.0), jnp.sum(jnp.stack(ray_counts))
 
 
+@jax.jit
+def _debug_scan(accum):
+    """Per-batch validation reduction (one tiny fused kernel): non-finite
+    count, negative count, max channel value over the accumulation."""
+    finite = jnp.isfinite(accum)
+    return (jnp.sum(~finite), jnp.sum(jnp.where(finite, accum, 0.0) < 0.0),
+            jnp.max(jnp.where(finite, accum, 0.0)))
+
+
+@dataclass
+class DebugStats:
+    """`debug=True` counters — the validation-layer analogue of the
+    reference's Vulkan debug callback (bin/src/app.rs:317-369): instead of
+    driver messages, every batch's accumulation is scanned for non-finite /
+    negative / energy-violating radiance."""
+    checks: int = 0
+    nonfinite_values: int = 0
+    negative_values: int = 0
+    max_radiance: float = 0.0
+    energy_bound: float = 0.0
+
+
+class DebugValidationError(RuntimeError):
+    pass
+
+
 @dataclass
 class RenderStats:
     batches_done: int = 0
@@ -260,6 +286,7 @@ class Renderer:
         metrics_jsonl: Optional[str] = None,
         use_pallas_sweep: Optional[bool] = None,
         kernel_options=None,
+        debug: bool = False,
     ):
         from ..options import KernelOptions
         from ..utils.cache import enable_compilation_cache
@@ -271,8 +298,9 @@ class Renderer:
             camera_name=camera_name, trace_builder=trace_builder,
             use_bvh=use_bvh, leaf_size=leaf_size,
             metrics_jsonl=metrics_jsonl, use_pallas_sweep=use_pallas_sweep,
-            kernel_options=kernel_options,
+            kernel_options=kernel_options, debug=debug,
         )
+        self.debug = debug
         self.kernel_options = (
             (kernel_options or KernelOptions()).with_env_overrides())
         bvh = None
@@ -435,6 +463,16 @@ class Renderer:
         # Runtime-adjustable (traced, never recompiles).
         self.max_depth = compiled.render.max_ray_depth
         self.stats = RenderStats()
+        self.debug_stats = None
+        if debug:
+            # Loose per-path radiance ceiling: every additive term is a
+            # product of albedos (<=1 each) times one emission (or the
+            # sky, <=1), and NEE adds at most one light term per bounce —
+            # so a sample can't exceed emax * (depth + 2) without a bug
+            # (zero-pdf blowup, un-guarded 0/0, ...).
+            emax = max(1.0, float(compiled.const_colours.max()))
+            self.debug_stats = DebugStats(
+                energy_bound=emax * (self.max_depth + 2))
         from ..utils.profiling import BatchMetrics
 
         self.metrics = BatchMetrics(
@@ -442,6 +480,29 @@ class Renderer:
             spp=self.static.sqrt_spp ** 2,
             jsonl_path=metrics_jsonl,
         )
+
+    # ------------------------------------------------------------- debug
+
+    def _debug_check(self, batch: int) -> None:
+        """debug=True: validate the accumulation after a batch (finite,
+        non-negative, energy-bounded) — raises DebugValidationError with
+        the batch index on the first violation."""
+        if self.debug_stats is None:
+            return
+        nonf, neg, mx = _debug_scan(self.accum)
+        st = self.debug_stats
+        st.checks += 1
+        st.nonfinite_values += int(nonf)
+        st.negative_values += int(neg)
+        st.max_radiance = max(st.max_radiance, float(mx))
+        if int(nonf) or int(neg):
+            raise DebugValidationError(
+                f"batch {batch}: {int(nonf)} non-finite / {int(neg)} "
+                f"negative accumulation values")
+        if float(mx) > st.energy_bound:
+            raise DebugValidationError(
+                f"batch {batch}: radiance {float(mx):.3g} exceeds energy "
+                f"bound {st.energy_bound:.3g}")
 
     # ------------------------------------------------------------- steps
 
@@ -487,6 +548,7 @@ class Renderer:
             self.accum, tiles, ray_counts, jnp.int32(self.current_batch)
         )
         rays = float(rays_dev)  # blocks until the batch finishes
+        self._debug_check(self.current_batch)
         dt = _time.perf_counter() - t0
         self.metrics.record(self.current_batch, dt, rays)
         self.current_batch += 1
@@ -538,6 +600,7 @@ class Renderer:
         else:
             self._cost_perm = next_perm
         trs = np.asarray(trs)  # blocks until the chunk finishes
+        self._debug_check(cur + k - 1)
         dt = _time.perf_counter() - t0
         for i in range(k):
             self.metrics.record(cur + i, dt / k, float(trs[i]))
@@ -565,10 +628,20 @@ class Renderer:
     # tail (static scenes fuse k batches into one sample stream), small
     # enough that a dispatch stays far from the device watchdog.
     CHUNK = 12
+    # Item-mode lane budget: deferred-image chunks put every
+    # (pixel, sample) item on its own lane AND trace the same count
+    # through the XLA factor post-pass, so k is bounded by items — an
+    # unbounded fuse at 512x288 x 4spp x 12 batches allocated ~24 GB in
+    # the post-pass and OOM'd the chip.
+    ITEM_BUDGET = 1 << 21
 
     def chunk_size(self) -> int:
         spp = max(1, self.static.sqrt_spp ** 2)
-        return max(1, min(self.CHUNK, 256 // spp))
+        k = max(1, min(self.CHUNK, 256 // spp))
+        if self._mega_items > 1 and not self.static.any_animated:
+            per_batch = self.static.height * self.static.width * spp
+            k = max(1, min(k, self.ITEM_BUDGET // per_batch))
+        return k
 
     def render_all(self, progress=None) -> np.ndarray:
         total = self.compiled.render.sample_batches

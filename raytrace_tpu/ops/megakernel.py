@@ -1552,35 +1552,52 @@ def _deferred_image_factor(static, scene, geom, cam, sample_batch, row0,
     spp = sqrt_spp * sqrt_spp
     K = spp_local * n_batches
     n_items = n_pix * K
-    ids = jnp.arange(n_items, dtype=jnp.uint32)
-    s_all = ids % jnp.uint32(K)
-    pix = ids // jnp.uint32(K)
-    px = pix % jnp.uint32(W)
-    py = jnp.asarray(row0, jnp.uint32) + pix // jnp.uint32(W)
-    batch = (jnp.asarray(sample_batch, jnp.uint32)
-             + s_all // jnp.uint32(spp_local))
-    s = s_all % jnp.uint32(spp_local) + jnp.uint32(sample_base)
-    si = (s % sqrt_spp).astype(jnp.int32)
-    sj = (s // sqrt_spp).astype(jnp.int32)
-    state = rng.init_rng(batch, s, py, px, W, H, spp)
-    state, ray_o, ray_d = cam_ops.get_rays_v3(
-        state, cam, px.astype(jnp.int32), py.astype(jnp.int32), si, sj,
-        W, H, sqrt_spp, use_dof=use_dof)
     # Plain-XLA trace (no nested pallas_call; the gate admits only
     # single-sphere scenes, so this is one analytic intersection).
     st_x = dataclasses.replace(static, use_pallas_sweep=False,
                                use_megakernel=False)
     trace = wavefront.make_trace_fn(st_x, scene, geom)
-    raw = trace(ray_o, ray_d, jnp.ones((n_items,), bool))
-    rec = wavefront.reconstruct_hit(st_x, scene, geom, raw, ray_o, ray_d)
-    prim = jnp.clip(raw.prim, 0, scene.shade_rows.shape[0] - 1)
-    mode = jnp.take(scene.shade_rows[:, 11], prim)
-    aux = jnp.take(scene.shade_rows[:, 12], prim)
-    idx = jnp.clip(aux.astype(jnp.int32), 0, scene.atlas.shape[0] - 1)
-    tex = sample_image_nearest(scene.atlas, scene.atlas_wh, scene.srgb_lut,
-                               idx, rec.u, rec.v)
-    sel = (~raw.missed) & (mode == _MODE_IMAGE)
-    return jnp.where(sel[:, None], tex, 1.0)
+
+    def factor_slice(ids):
+        s_all = ids % jnp.uint32(K)
+        pix = ids // jnp.uint32(K)
+        px = pix % jnp.uint32(W)
+        py = jnp.asarray(row0, jnp.uint32) + pix // jnp.uint32(W)
+        batch = (jnp.asarray(sample_batch, jnp.uint32)
+                 + s_all // jnp.uint32(spp_local))
+        s = s_all % jnp.uint32(spp_local) + jnp.uint32(sample_base)
+        si = (s % sqrt_spp).astype(jnp.int32)
+        sj = (s // sqrt_spp).astype(jnp.int32)
+        state = rng.init_rng(batch, s, py, px, W, H, spp)
+        state, ray_o, ray_d = cam_ops.get_rays_v3(
+            state, cam, px.astype(jnp.int32), py.astype(jnp.int32), si, sj,
+            W, H, sqrt_spp, use_dof=use_dof)
+        raw = trace(ray_o, ray_d, jnp.ones(ids.shape, bool))
+        rec = wavefront.reconstruct_hit(st_x, scene, geom, raw, ray_o, ray_d)
+        prim = jnp.clip(raw.prim, 0, scene.shade_rows.shape[0] - 1)
+        mode = jnp.take(scene.shade_rows[:, 11], prim)
+        aux = jnp.take(scene.shade_rows[:, 12], prim)
+        idx = jnp.clip(aux.astype(jnp.int32), 0, scene.atlas.shape[0] - 1)
+        tex = sample_image_nearest(scene.atlas, scene.atlas_wh,
+                                   scene.srgb_lut, idx, rec.u, rec.v)
+        sel = (~raw.missed) & (mode == _MODE_IMAGE)
+        return jnp.where(sel[:, None], tex, 1.0)
+
+    # Bounded slices: the trace + reconstruct intermediates are a dozen
+    # [n]-sized buffers, so one whole-chunk call at n_pix*spp*k items
+    # allocated ~24 GB and OOM'd the chip.  Equal 512k-item slices keep
+    # the peak flat; the loop unrolls at trace time (few slices thanks to
+    # the renderer's ITEM_BUDGET chunk cap).
+    SLICE = 1 << 19
+    if n_items <= SLICE:
+        return factor_slice(jnp.arange(n_items, dtype=jnp.uint32))
+    n_slices = -(-n_items // SLICE)
+    parts = [
+        factor_slice(jnp.arange(
+            lo, min(lo + SLICE, n_items), dtype=jnp.uint32))
+        for lo in range(0, n_slices * SLICE, SLICE)
+    ]
+    return jnp.concatenate(parts, axis=0)
 
 
 def render_tile_mega(

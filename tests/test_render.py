@@ -293,3 +293,39 @@ def test_camera_lookup_by_name():
     with pytest.raises(KeyError, match="not found"):
         Renderer(cs, camera_name="nope")
     Renderer(cs, camera_name="cam")  # by-name lookup works
+
+
+def test_debug_validation_mode():
+    """debug=True (the reference's validation-layer analogue,
+    bin/src/app.rs:317-369): clean scenes pass every per-batch check and
+    record counters; a poisoned accumulation trips DebugValidationError."""
+    from raytrace_tpu.engine.renderer import DebugValidationError
+
+    scene = make_scene(
+        [ConstantTexture(name="g", rgb=[0.5, 0.6, 0.7])],
+        [Lambertian(name="m", albedo="g")],
+        [UvSphere(name="s", center=[0, 0, -3], radius=1.0, rings=4,
+                  segments=8, material="m")],
+        [Instance(name="s")],
+        SolidSky(rgb=[1, 1, 1]),
+        spp=2, batches=2, depth=4,
+    )
+    cs = compile_scene(scene, width=16, height=16)
+    r = Renderer(cs, debug=True)
+    img = r.render_all()
+    assert np.isfinite(img).all()
+    assert r.debug_stats.checks >= 2
+    assert r.debug_stats.nonfinite_values == 0
+    assert r.debug_stats.negative_values == 0
+    assert 0.0 < r.debug_stats.max_radiance <= r.debug_stats.energy_bound
+
+    # Poison the accumulation: the next batch's check must trip.
+    import jax.numpy as jnp
+
+    r2 = Renderer(cs, debug=True)
+    r2.render_next_batch()
+    bad = np.asarray(r2.accum).copy()
+    bad[0, 0, 0] = np.nan
+    r2.accum = jnp.asarray(bad)
+    with pytest.raises(DebugValidationError, match="non-finite"):
+        r2.render_next_batch()

@@ -40,13 +40,18 @@ SCENES = [
 SLOW = {"earth.json", "earth-motion-blur.json"}
 
 
-def _render(name, width):
+def _render(name, width, mesh_geometry=False, spp=None, batches=None):
     from raytrace_tpu.engine import Renderer
     from raytrace_tpu.models import compile_scene
     from raytrace_tpu.scene_file import SceneFile
 
     sf = SceneFile.load_json(f"/root/reference/assets/{name}")
-    cs = compile_scene(sf, width=width)
+    if spp is not None:
+        sf.render.samples_per_pixel = spp
+    if batches is not None:
+        sf.render.sample_batches = batches
+    cs = compile_scene(sf, width=width,
+                       analytic_spheres=not mesh_geometry)
     r = Renderer(cs)
     t0 = time.perf_counter()
     img = r.render_all()
@@ -86,6 +91,37 @@ def main():
         out["scenes"][name] = rec
         print(name, json.dumps(rec))
         sys.stdout.flush()
+
+    # Reference-parity geometry mode (VERDICT round-2 missing #3): the
+    # flagship through tessellated meshes + the SAH BVH, measured at a
+    # small config — this is the correctness-only path; analytic spheres
+    # are the perf path (PARITY.md intentional deviation #2).
+    name = "final-one-weekend.json"
+    r, img, cold_s, cs, sf = _render(name, 304, mesh_geometry=True,
+                                     spp=4, batches=1)
+    r2, img2, warm_s, _, _ = _render(name, 304, mesh_geometry=True,
+                                     spp=4, batches=1)
+    rec = {
+        "width": cs.render.width,
+        "height": cs.render.height,
+        "spp": 4,
+        "batches": 1,
+        "max_depth": sf.render.max_ray_depth,
+        "triangles": cs.num_triangles,
+        "cold_s": round(cold_s, 2),
+        "warm_s": round(warm_s, 2),
+        "mrays_per_sec": round(r.stats.mrays_per_sec, 2),
+        "steady_mrays": round(r2.stats.rays_traced / warm_s / 1e6, 2),
+        "rays": r.stats.rays_traced,
+        "finite": bool(np.isfinite(img).all()),
+        "mean_rgb": [round(float(v), 6) for v in img.mean(axis=(0, 1))],
+        "max_rgb": round(float(img.max()), 3),
+        "warm_matches_cold": bool(np.array_equal(img, img2)),
+        "path": "bvh",
+    }
+    out["scenes"]["final-one-weekend.json@mesh-geometry"] = rec
+    print("final-one-weekend.json@mesh-geometry", json.dumps(rec))
+    sys.stdout.flush()
     with open("BENCH_SCENES.json", "w") as f:
         json.dump(out, f, indent=2)
     print("wrote BENCH_SCENES.json")
