@@ -718,7 +718,9 @@ def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref,
             n_pref8 = min(-(-cfg.n_prefix // 8), S8 // 8)
             def pref_chunk(ci, carry):
                 return sph_8(ci, *carry)
-            bt, bid = jax.lax.fori_loop(0, n_pref8, pref_chunk, (bt, bid))
+            if "nopref" not in set(cfg.ablate.split(",")):  # perf triage
+                bt, bid = jax.lax.fori_loop(
+                    0, n_pref8, pref_chunk, (bt, bid))
             bt, bid = _sweep_sieve(
                 cfg, sieveT_ref, w_ref, clu_ref, o, d, active,
                 a, inv_a, ddo, osq, bt, bid, nzero)

@@ -42,6 +42,9 @@ ENV_FOR_MODE = {
     "sieve": {"MEGA_GATHER": "0", "MEGA_MXU": "0", "MEGA_SIEVE": "1", "MEGA_SEL": "0", "MEGA_ABLATE": ""},
     "gather": {"MEGA_GATHER": "1", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0", "MEGA_ABLATE": ""},
     "gather-norounds": {"MEGA_GATHER": "1", "MEGA_ABLATE": "norounds", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0"},
+    "body-only": _env(g="4", ablate="nosieve,nopref"),
+    "g4-norounds": _env(g="4", ablate="norounds"),
+    "g4-nosieve": _env(g="4", ablate="nosieve"),
     "gather-nosieve": {"MEGA_GATHER": "1", "MEGA_ABLATE": "nosieve", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0"},
     "gather-mm": {"MEGA_GATHER": "1", "MEGA_ABLATE": "sieve-mm", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0"},
     "gather-mask": {"MEGA_GATHER": "1", "MEGA_ABLATE": "sieve-mask", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0"},
