@@ -1701,10 +1701,12 @@ def render_tile_mega(
         # Deferred image textures: multiply each sample by its
         # primary-hit texel (ONE batched XLA gather over the full atlas),
         # then fold the K items of each pixel back into per-pixel sums.
-        factor = _deferred_image_factor(
-            static, scene, geom, cam, sample_batch, row0, n_pix,
-            spp_local, sample_base, n_batches, use_dof)
-        flat = (flat * factor).reshape(n_pix, K_items, 3).sum(axis=1)
+        if "nofactor" not in set(cfg.ablate.split(",")):  # perf triage
+            factor = _deferred_image_factor(
+                static, scene, geom, cam, sample_batch, row0, n_pix,
+                spp_local, sample_base, n_batches, use_dof)
+            flat = flat * factor
+        flat = flat.reshape(n_pix, K_items, 3).sum(axis=1)
         traced_pix = traced_pix.reshape(n_pix, K_items).sum(axis=1)
 
     tile = flat.reshape(rows_per_tile, W, 3)
