@@ -629,11 +629,12 @@ class Renderer:
     # enough that a dispatch stays far from the device watchdog.
     CHUNK = 12
     # Item-mode lane budget: deferred-image chunks put every
-    # (pixel, sample) item on its own lane AND trace the same count
-    # through the XLA factor post-pass, so k is bounded by items — an
-    # unbounded fuse at 512x288 x 4spp x 12 batches allocated ~24 GB in
-    # the post-pass and OOM'd the chip.
-    ITEM_BUDGET = 1 << 21
+    # (pixel, sample) item on its own lane.  The post-pass is now one
+    # flat texel gather on the kernel-recorded index (~16 B/item live),
+    # so the bound is the kernel's own 6 q-block output buffers
+    # (~24 B/item) — 8M items stays under ~200 MB.  (The former 2M cap
+    # guarded the re-trace factor's ~24 GB of trace intermediates.)
+    ITEM_BUDGET = 1 << 23
 
     def chunk_size(self) -> int:
         spp = max(1, self.static.sqrt_spp ** 2)

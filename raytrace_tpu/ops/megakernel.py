@@ -159,6 +159,20 @@ class MegaConfig:
     # candidate visiting beats the dense MXU sweep.  Requires
     # n_clusters <= 128 (gather table width).
     use_gather: bool = False
+    # Re-pretest culling: every cull_every unrolled gather rounds, the
+    # candidate masks are re-packed against the improved bt (the
+    # quadratic pretest terms don't depend on bt, so a re-cull costs one
+    # compare pass + one packing matmul).  Clusters whose conservative
+    # entry distance is behind the current best hit drop out, which
+    # shortens the dynamic residual loop — the kernel-side answer to
+    # "a cell pays its worst lane's candidate count".  0 = off.
+    cull_every: int = 0
+    # Near-first band ordering: the pretest splits each lane's candidate
+    # bits into two bands around a per-lane entry-distance pivot; rounds
+    # drain the near band first, so bt drops early and the re-cull
+    # removes most of the far band.  Adds an id tie-break to keep the
+    # dense sweep's lowest-id tie order under out-of-order visiting.
+    use_bands: bool = False
 
 
 def _fetch_rows(rowsT_ref, prim, P: int, layout):
@@ -203,6 +217,41 @@ def _fetch_rows(rowsT_ref, prim, P: int, layout):
 
 
 BIGF = 3.0e37  # "never": beyond any t / k (python float: kernel-immediate)
+
+
+def _atan_pos(x):
+    """atan for x >= 0 (Cephes atanf range reduction + degree-7 minimax,
+    ~1e-7 abs err).  Mosaic has no atan2/acos lowering, so the deferred-
+    image UV quantization builds them from mul/div/sqrt/select; at 5400
+    texels per revolution a 1e-7 rad error moves a texel boundary by
+    ~1e-4 texel — immaterial for the statistical-parity image family."""
+    big = x > 2.414213562373095       # tan(3pi/8)
+    mid = (x > 0.4142135623730951) & ~big   # tan(pi/8)
+    xr = jnp.where(big, -1.0 / jnp.where(x == 0.0, 1.0, x),
+                   jnp.where(mid, (x - 1.0) / (x + 1.0), x))
+    z = xr * xr
+    p = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+          + 1.99777106478e-1) * z - 3.33329491539e-1)
+    y = p * z * xr + xr
+    return y + jnp.where(big, np.float32(np.pi / 2),
+                         jnp.where(mid, np.float32(np.pi / 4), 0.0))
+
+
+def _atan2_k(y, x):
+    """IEEE-ish atan2 from _atan_pos (quadrant fixes; (0,0) -> 0)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    r = _atan_pos(ay / jnp.where(ax == 0.0, 1e-38, ax))
+    r = jnp.where(ax == 0.0, np.float32(np.pi / 2), r)
+    r = jnp.where(x < 0.0, np.float32(np.pi) - r, r)
+    r = jnp.where(y < 0.0, -r, r)
+    return jnp.where((ax == 0.0) & (ay == 0.0), 0.0, r)
+
+
+def _acos_k(t):
+    """acos via atan2(sqrt(1-t^2), t) (t pre-clipped to [-1, 1])."""
+    s = jnp.sqrt(jnp.maximum(1.0 - t * t, 0.0))
+    return _atan2_k(s, t)
 
 
 def _split3(x):
@@ -375,7 +424,8 @@ def _cluster_rounds(cfg: MegaConfig, clu_ref, o: V3, d: V3, a, inv_a,
 
 
 def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
-                           inv_a, ddo, osq, bt, bid, masks, izero):
+                           inv_a, ddo, osq, bt, bid, masks, izero,
+                           remask=None, n_cwords=None):
     """Pop-lowest-bit cluster visiting with LANE-GATHER sphere fetch.
 
     cluG_ref is [G*4 rows (8-padded), 128]: row 4*s+f holds field f
@@ -387,9 +437,20 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
 
     Counted fori trip (one upfront popcount + cross-lane max) per the
     round-2 measurement that a while-cond cross-lane reduction costs
-    ~0.5us/iteration."""
+    ~0.5us/iteration.
+
+    With cfg.use_bands, `masks` holds near-band words then far-band
+    words over the same clusters (word w covers clusters of word
+    w % n_cwords); an explicit id tie-break keeps the dense sweep's
+    lowest-id tie order under the out-of-order visiting.  `remask(bt)`
+    (re-pretest against the improved bt) is applied every
+    cfg.cull_every unrolled rounds and once more before the residual
+    loop, whose trip count is recomputed from the SURVIVING masks."""
     G = cfg.clu_g
     n_words = len(masks)
+    if n_cwords is None:
+        n_cwords = n_words
+    banded = n_words != n_cwords
 
     tags0 = set(cfg.ablate.split(","))
     uniform_ci = "uniformci" in tags0     # perf triage: uniform gathers
@@ -416,7 +477,7 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
             m = ms[w]
             has = (m != 0) & ~taken
             b = m & -m
-            idx = jax.lax.population_count(b - 1) + (32 * w)
+            idx = jax.lax.population_count(b - 1) + (32 * (w % n_cwords))
             ci = jnp.where(has, idx, ci)
             new_ms.append(jnp.where(has, m ^ b, m))
             taken = taken | has
@@ -442,10 +503,20 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
             t = jnp.where(t1 > T_MIN, t1,
                           jnp.where(t2 > T_MIN, t2, T_MAX))
             t = jnp.where(t < T_MAX, t, T_MAX)
-            better = pending & (t < bt)
+            sid = base + s
+            if banded:
+                better = pending & ((t < bt) | ((t == bt) & (sid < bid)))
+            else:
+                better = pending & (t < bt)
             bt = jnp.where(better, t, bt)
-            bid = jnp.where(better, base + s, bid)
+            bid = jnp.where(better, sid, bid)
         return tuple([bt, bid] + new_ms)
+
+    def cull(carry):
+        bt_c, bid_c, *ms = carry
+        fresh = remask(bt_c)
+        ms = [m & fresh[w % n_cwords] for w, m in enumerate(ms)]
+        return tuple([bt_c, bid_c] + ms)
 
     cnt = izero
     for m in masks:
@@ -465,9 +536,21 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
         n_un = int(unroll[0].split(":")[1]) if ":" in unroll[0] else 12
     if n_un:
         carry = tuple([bt, bid] + masks)
+        ce = cfg.cull_every if remask is not None else 0
         for r in range(n_un):
             carry = rbody(r, carry)
-        residual = jnp.maximum(jnp.max(cnt) - n_un, 0)
+            if ce and (r + 1) % ce == 0 and r + 1 < n_un:
+                carry = cull(carry)
+        if remask is not None:
+            # final cull, and the residual trip count comes from the
+            # SURVIVING masks (exact), not initial cnt - n_un.
+            carry = cull(carry)
+            rcnt = izero
+            for m in carry[2:]:
+                rcnt = rcnt + jax.lax.population_count(m)
+            residual = jnp.max(rcnt)
+        else:
+            residual = jnp.maximum(jnp.max(cnt) - n_un, 0)
         out = jax.lax.fori_loop(0, residual, rbody, carry)
         return out[0], out[1]
     n_rounds = jnp.max(cnt)
@@ -555,31 +638,58 @@ def _sweep_sieve(cfg: MegaConfig, sieveT_ref, w_ref, clu_ref, o: V3, d: V3,
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t1 = (-h - sq) * inv_a_f
     t2 = (-h + sq) * inv_a_f
-    bt_f = _flat_row(bt)
     active_f = _flat_row(active.astype(jnp.float32))
-    sel = ((disc >= -margin) & (t2 > T_MIN)
-           & (t1 < bt_f * 1.0001 + 1e-4))
-    mask_f = sel.astype(jnp.float32) * active_f            # [Cp, 1024]
-    if "sieve-mask" in tags:   # perf triage: + quadratic passes, no pack
-        return jnp.minimum(bt, _unflat_row(mask_f[0:1]) + BIGF), bid
-
-    # powers-of-two matmul -> 16-bit half-words (exact in f32), packed
-    # into int32 mask words for the round loop.
-    words16 = jax.lax.dot_general(
-        w_ref[:], mask_f, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32)                # [8, 1024]
     n_words = -(-C // 32)
     izero = (nzero).astype(jnp.int32)
-    masks = []
-    for w in range(n_words):
-        lo = _unflat_row(words16[2 * w:2 * w + 1]).astype(jnp.int32)
-        hi = _unflat_row(words16[2 * w + 1:2 * w + 2]).astype(jnp.int32)
-        masks.append(lo | (hi << 16))
+
+    def sel_of(bt_cur):
+        # bt only enters through this compare: a re-cull against an
+        # improved bt reuses the quadratic terms above.
+        bt_f = _flat_row(bt_cur)
+        return ((disc >= -margin) & (t2 > T_MIN)
+                & (t1 < bt_f * 1.0001 + 1e-4))
+
+    def pack(sel):
+        # powers-of-two matmul -> 16-bit half-words (exact in f32),
+        # packed into int32 mask words for the round loop.
+        mask_f = sel.astype(jnp.float32) * active_f        # [Cp, 1024]
+        words16 = jax.lax.dot_general(
+            w_ref[:], mask_f, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)            # [8, 1024]
+        out = []
+        for w in range(n_words):
+            lo = _unflat_row(words16[2 * w:2 * w + 1]).astype(jnp.int32)
+            hi = _unflat_row(words16[2 * w + 1:2 * w + 2]).astype(jnp.int32)
+            out.append(lo | (hi << 16))
+        return out
+
+    sel0 = sel_of(bt)
+    if "sieve-mask" in tags:   # perf triage: + quadratic passes, no pack
+        mask_f = sel0.astype(jnp.float32) * active_f
+        return jnp.minimum(bt, _unflat_row(mask_f[0:1]) + BIGF), bid
+
+    remask = (lambda b: pack(sel_of(b))) if cfg.cull_every else None
+
+    if cfg.use_bands and cfg.use_gather:
+        # Per-lane entry-distance pivot: near candidates (t1 <= pivot)
+        # drain first.  Lanes without candidates get a garbage pivot on
+        # empty masks — harmless.
+        frac = 0.5
+        piv = [t for t in tags if t.startswith("pivot")]
+        if piv and ":" in piv[0]:
+            frac = float(piv[0].split(":")[1])
+        tc_min = jnp.min(jnp.where(sel0, t1, BIGF), axis=0, keepdims=True)
+        tc_max = jnp.max(jnp.where(sel0, t1, -BIGF), axis=0, keepdims=True)
+        pivot = tc_min + frac * (tc_max - tc_min)
+        masks = pack(sel0 & (t1 <= pivot)) + pack(sel0 & (t1 > pivot))
+    else:
+        masks = pack(sel0)
 
     if cfg.use_gather:
         return _cluster_rounds_gather(cfg, clu_ref, o, d, a, inv_a, ddo,
-                                      osq, bt, bid, masks, izero)
+                                      osq, bt, bid, masks, izero,
+                                      remask=remask, n_cwords=n_words)
     return _cluster_rounds(cfg, clu_ref, o, d, a, inv_a, ddo, osq,
                            bt, bid, masks, izero, fixed_trip=True)
 
@@ -891,8 +1001,8 @@ def _rowsT_m8(cfg: MegaConfig) -> int:
 
 def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
                  bnd_ref, clu_ref, tri_ref, rowsT_ref, o2w_ref, light_ref,
-                 pix_ref, rx_ref, ry_ref, rz_ref, tr_ref, it_ref, *,
-                 cfg: MegaConfig):
+                 pix_ref, rx_ref, ry_ref, rz_ref, tr_ref, it_ref,
+                 ti_ref=None, *, cfg: MegaConfig, interpret_trig=False):
     """Persistent-lane path tracer: one lane owns q_pix PIXELS and traces
     each pixel's spp_local*n_batches samples sequentially (pixel after
     pixel), regenerating a fresh camera ray the moment a sample
@@ -973,10 +1083,17 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
     ry_ref[:] = zq
     rz_ref[:] = zq
     tr_ref[:] = zq
+    if ti_ref is not None:
+        ti_ref[:] = zq
 
     def body(carry):
-        (state, ray_o, ray_d, thr, acc, qi, sip, depth, scnt,
-         iters, pix) = carry
+        if ti_ref is not None:
+            (state, ray_o, ray_d, thr, acc, qi, sip, depth, scnt,
+             iters, pix, ti) = carry
+        else:
+            (state, ray_o, ray_d, thr, acc, qi, sip, depth, scnt,
+             iters, pix) = carry
+            ti = None
         dead = pix >= cfg.n_pix
         avail = qi < Q
         active = avail & ~dead
@@ -1012,6 +1129,33 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
             n_obj = V3((p_obj.x - c.x) * inv_r, (p_obj.y - c.y) * inv_r,
                        (p_obj.z - c.z) * inv_r)
             sn = vec3.mat34_apply_transposed_vec(m_cols, n_obj)
+            if ti_ref is not None:
+                # Deferred image textures: record the PRIMARY hit's texel
+                # index (UV math ≡ wavefront.reconstruct_hit + nearest/
+                # repeat quantization ≡ ops/textures.sample_image_nearest;
+                # the deferred gate admits only single-image-sphere
+                # scenes, so every hit is the image texture).  The XLA
+                # post-pass turns it into one flat atlas gather — no
+                # re-trace (render_tile_mega._texel_factor).
+                nn_uv = vec3.normalize(n_obj)
+                cy = jnp.clip(-nn_uv.y, -1.0, 1.0)
+                if interpret_trig:
+                    # interpret mode: XLA's own transcendentals keep the
+                    # CPU parity tests bitwise vs the wavefront.
+                    sv = jnp.arccos(cy) * (1.0 / np.pi)
+                    su = (jnp.arctan2(nn_uv.z, -nn_uv.x)
+                          * (0.5 / np.pi)) % 1.0
+                else:
+                    sv = _acos_k(cy) * np.float32(1.0 / np.pi)
+                    su = (_atan2_k(nn_uv.z, -nn_uv.x)
+                          * np.float32(0.5 / np.pi)) % 1.0
+                tw = prm_ref[0, 10]
+                th = prm_ref[0, 11]
+                aw = prm_ref[0, 12]
+                txi = jnp.clip(jnp.floor((su % 1.0) * tw), 0.0, tw - 1.0)
+                tyi = jnp.clip(jnp.floor((sv % 1.0) * th), 0.0, th - 1.0)
+                primary_hit = hit & (depth == cfg.max_depth)
+                ti = jnp.where(primary_hit, tyi * aw + txi, ti)
         if cfg.n_tris:
             tn = V3(
                 slots[_SLOT_TRIN + 0] + bu * slots[_SLOT_TRIN + 3]
@@ -1097,6 +1241,10 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
                 ry_ref[sl, :] += jnp.where(m, acc.y, 0.0)
                 rz_ref[sl, :] += jnp.where(m, acc.z, 0.0)
                 tr_ref[sl, :] += mf * scnt
+                if ti_ref is not None:
+                    # item mode: each slot flushes exactly once, so the
+                    # += lands the sample's texel index (or -1) verbatim
+                    ti_ref[sl, :] += jnp.where(m, ti, 0.0)
 
         # Unconditional masked adds: Q*4 vector ops every iteration beat
         # gating on a cross-lane any() reduction (a vector->scalar sync;
@@ -1128,6 +1276,10 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         acc = vec3.where(sample_over | jump, V3(nzero, nzero, nzero), acc)
         depth3 = jnp.where(regen, depth0, depth2)
 
+        if ti_ref is not None:
+            ti = jnp.where(sample_over | jump, nzero - 1.0, ti)
+            return (state, ray_o, ray_d, thr, acc, qi2, sip2, depth3,
+                    scnt, iters, pix2, ti)
         return (state, ray_o, ray_d, thr, acc, qi2, sip2, depth3, scnt,
                 iters, pix2)
 
@@ -1138,6 +1290,8 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
     zero3 = V3(nzero, nzero, nzero)
     init = (state, ray_o, ray_d, one3, zero3, qi0, qi0, depth0, nzero,
             nzero, pix0)
+    if ti_ref is not None:
+        init = init + (nzero - 1.0,)
     # Amortize the cross-lane while-cond (a vector->scalar sync,
     # ~0.1us/iter measured) over 8 body iterations.  The inner fori
     # bound is a TRACED scalar so Mosaic keeps one body copy (a static
@@ -1346,12 +1500,17 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
     """One pallas_call over n_cells grid cells (n_cells*1024 rays).
 
     Returns (rad V3 of [n_cells*1024], traced [n_cells*1024])."""
-    kernel = functools.partial(_mega_kernel, cfg=cfg)
+    kernel = functools.partial(_mega_kernel, cfg=cfg,
+                               interpret_trig=interpret)
     Q = cfg.q_pix
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     qspec = pl.BlockSpec((Q * SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     qshape = jax.ShapeDtypeStruct((n_cells * Q * SUB, 128), jnp.float32)
+    # Item mode adds a 6th output: the per-item primary-hit texel index
+    # (-1 = none) for the deferred-image post-pass.
+    extra_out = [qspec] if cfg.item_mode else []
+    extra_shape = [qshape] if cfg.item_mode else []
     outs = pl.pallas_call(
         kernel,
         grid=(n_cells,),
@@ -1377,16 +1536,18 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
         ],
         out_specs=[qspec, qspec, qspec, qspec,
                    pl.BlockSpec((SUB, 128), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)],
+                                memory_space=pltpu.VMEM)] + extra_out,
         out_shape=[qshape, qshape, qshape, qshape,
-                   jax.ShapeDtypeStruct((n_cells * SUB, 128), jnp.float32)],
+                   jax.ShapeDtypeStruct((n_cells * SUB, 128), jnp.float32)]
+                  + extra_shape,
         interpret=interpret,
     )(cam_tbl, params, sph, sphT, sieveT, w_tbl, bnd, clu, tri, rowsT,
       o2w, light, pix_tbl)
-    rx, ry, rz, tr, it = outs
+    rx, ry, rz, tr, it = outs[:5]
     flatq = lambda x: x.reshape(n_cells * Q * CELL)
+    ti = flatq(outs[5]) if cfg.item_mode else None
     return (V3(flatq(rx), flatq(ry), flatq(rz)), flatq(tr),
-            it.reshape(n_cells * CELL))
+            it.reshape(n_cells * CELL), ti)
 
 
 def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
@@ -1444,6 +1605,14 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     unroll_default = 0 if getattr(static, "pallas_interpret", False) else 16
     rounds_unroll = (opts.rounds_unroll if opts.rounds_unroll is not None
                      else unroll_default)
+    # Re-pretest culling + near-first bands: measured defaults pending
+    # the round-3 sweep study (tools_dev/sweep_bench.py cull/band modes);
+    # interpret mode keeps them off with the unroll (no straight-line
+    # blocks to checkpoint between).
+    cull_every = opts.cull_every if opts.cull_every is not None else 0
+    use_bands = opts.bands if opts.bands is not None else False
+    if rounds_unroll == 0:
+        cull_every = 0
     flags = static.flags
     item_mode = bool(flags.has_image)
     if item_mode:
@@ -1480,6 +1649,8 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         use_sieve=use_sieve,
         use_gather=use_gather,
         rounds_unroll=rounds_unroll if use_gather else 0,
+        cull_every=cull_every if use_gather else 0,
+        use_bands=use_bands and use_gather,
         ablate=opts.ablate,
     )
 
@@ -1531,75 +1702,20 @@ def deferred_image_supported(static) -> bool:
     return True
 
 
-def _deferred_image_factor(static, scene, geom, cam, sample_batch, row0,
-                           n_pix, spp_local, sample_base, n_batches,
-                           use_dof):
-    """Per-item primary-hit texel factor for deferred image textures.
+def _texel_factor(scene, ti_items):
+    """[n_items] kernel-computed texel indices -> [n_items, 3] factors.
 
-    Re-derives each (pixel, sample) item's camera ray — identical RNG
-    stream and camera math to the kernel's raygen — finds the primary hit
-    with the XLA tracer, and returns [n_items, 3]: the image texel where
-    the primary ray lands on a MODE_IMAGE albedo, else 1.  Multiplying
-    the kernel's albedo=1 per-sample radiance by this factor is exact for
-    scenes passing deferred_image_supported (<=1 image hit per path; the
-    texel scales every additive term of such a sample).  Matches the
-    wavefront's nearest/repeat sampler bit-for-bit (ops/textures.py ≡
-    render_engine.rs:241-247)."""
-    from ..engine import wavefront
-    from ..models.shading_table import MODE_IMAGE as _MODE_IMAGE
-    from .textures import sample_image_nearest
-
-    W, H = static.width, static.height
-    sqrt_spp = static.sqrt_spp
-    spp = sqrt_spp * sqrt_spp
-    K = spp_local * n_batches
-    n_items = n_pix * K
-    # Plain-XLA trace (no nested pallas_call; the gate admits only
-    # single-sphere scenes, so this is one analytic intersection).
-    st_x = dataclasses.replace(static, use_pallas_sweep=False,
-                               use_megakernel=False)
-    trace = wavefront.make_trace_fn(st_x, scene, geom)
-
-    def factor_slice(ids):
-        s_all = ids % jnp.uint32(K)
-        pix = ids // jnp.uint32(K)
-        px = pix % jnp.uint32(W)
-        py = jnp.asarray(row0, jnp.uint32) + pix // jnp.uint32(W)
-        batch = (jnp.asarray(sample_batch, jnp.uint32)
-                 + s_all // jnp.uint32(spp_local))
-        s = s_all % jnp.uint32(spp_local) + jnp.uint32(sample_base)
-        si = (s % sqrt_spp).astype(jnp.int32)
-        sj = (s // sqrt_spp).astype(jnp.int32)
-        state = rng.init_rng(batch, s, py, px, W, H, spp)
-        state, ray_o, ray_d = cam_ops.get_rays_v3(
-            state, cam, px.astype(jnp.int32), py.astype(jnp.int32), si, sj,
-            W, H, sqrt_spp, use_dof=use_dof)
-        raw = trace(ray_o, ray_d, jnp.ones(ids.shape, bool))
-        rec = wavefront.reconstruct_hit(st_x, scene, geom, raw, ray_o, ray_d)
-        prim = jnp.clip(raw.prim, 0, scene.shade_rows.shape[0] - 1)
-        mode = jnp.take(scene.shade_rows[:, 11], prim)
-        aux = jnp.take(scene.shade_rows[:, 12], prim)
-        idx = jnp.clip(aux.astype(jnp.int32), 0, scene.atlas.shape[0] - 1)
-        tex = sample_image_nearest(scene.atlas, scene.atlas_wh,
-                                   scene.srgb_lut, idx, rec.u, rec.v)
-        sel = (~raw.missed) & (mode == _MODE_IMAGE)
-        return jnp.where(sel[:, None], tex, 1.0)
-
-    # Bounded slices: the trace + reconstruct intermediates are a dozen
-    # [n]-sized buffers, so one whole-chunk call at n_pix*spp*k items
-    # allocated ~24 GB and OOM'd the chip.  Equal 512k-item slices keep
-    # the peak flat; the loop unrolls at trace time (few slices thanks to
-    # the renderer's ITEM_BUDGET chunk cap).
-    SLICE = 1 << 19
-    if n_items <= SLICE:
-        return factor_slice(jnp.arange(n_items, dtype=jnp.uint32))
-    n_slices = -(-n_items // SLICE)
-    parts = [
-        factor_slice(jnp.arange(
-            lo, min(lo + SLICE, n_items), dtype=jnp.uint32))
-        for lo in range(0, n_slices * SLICE, SLICE)
-    ]
-    return jnp.concatenate(parts, axis=0)
+    ti < 0 means "no image hit" (sky miss) -> 1.0; otherwise the flat
+    index into image 0's padded atlas plane, quantized in-kernel with
+    exactly the wavefront sampler's nearest/repeat math
+    (ops/textures.sample_image_nearest ≡ render_engine.rs:241-247).
+    One uint8 gather + sRGB LUT decode — the ~40ns/texel random-HBM
+    gather is the whole remaining cost (measured floor; the reference
+    leans on hardware texture caches here, ray_gen.glsl:193-201)."""
+    atlas0 = scene.atlas[0].reshape(-1, 3)            # [AH*AW, 3] uint8
+    idx = jnp.clip(ti_items.astype(jnp.int32), 0, atlas0.shape[0] - 1)
+    tex = scene.srgb_lut[atlas0[idx].astype(jnp.int32)]
+    return jnp.where((ti_items >= 0.0)[:, None], tex, 1.0)
 
 
 def render_tile_mega(
@@ -1660,6 +1776,13 @@ def render_tile_mega(
     params = params.at[0, 7].set(jnp.float32(sample_base))
     params = params.at[0, 8].set(scene.light_count.astype(jnp.float32))
     params = params.at[0, 9].set(scene.light_total_area)
+    if cfg.item_mode:
+        # Deferred image textures: actual image dims + padded atlas row
+        # stride for the in-kernel texel-index quantization (the gate
+        # admits exactly one image texture — atlas slot 0).
+        params = params.at[0, 10].set(scene.atlas_wh[0, 0].astype(jnp.float32))
+        params = params.at[0, 11].set(scene.atlas_wh[0, 1].astype(jnp.float32))
+        params = params.at[0, 12].set(jnp.float32(scene.atlas.shape[2]))
 
     if pix_perm is not None:
         # the permutation (e.g. snake strata) may carry padding slots;
@@ -1678,7 +1801,7 @@ def render_tile_mega(
 
     (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, o2w,
      light) = build_mega_tables(cfg, static, scene, geom)
-    psum, traced, iters = mega_dispatch(
+    psum, traced, iters, ti = mega_dispatch(
         cfg, n_cells, cam_tbl, params, rowsT, sph, sphT, sieveT, w_tbl,
         bnd, clu, tri, o2w, light, pix_tbl2, interpret=interpret,
     )
@@ -1699,13 +1822,16 @@ def render_tile_mega(
 
     if cfg.item_mode:
         # Deferred image textures: multiply each sample by its
-        # primary-hit texel (ONE batched XLA gather over the full atlas),
-        # then fold the K items of each pixel back into per-pixel sums.
+        # primary-hit texel (ONE batched XLA gather over the full atlas,
+        # at the kernel-computed texel index — no re-trace), then fold
+        # the K items of each pixel back into per-pixel sums.
         if "nofactor" not in set(cfg.ablate.split(",")):  # perf triage
-            factor = _deferred_image_factor(
-                static, scene, geom, cam, sample_batch, row0, n_pix,
-                spp_local, sample_base, n_batches, use_dof)
-            flat = flat * factor
+            if pix_perm is None:
+                ti_items = ti[:n_items]
+            else:
+                ti_items = jnp.zeros((n_items,), jnp.float32).at[dest].set(
+                    ti, mode="drop")
+            flat = flat * _texel_factor(scene, ti_items)
         flat = flat.reshape(n_pix, K_items, 3).sum(axis=1)
         traced_pix = traced_pix.reshape(n_pix, K_items).sum(axis=1)
 

@@ -61,6 +61,15 @@ class KernelOptions:
     #: sweep="auto" only: permit the dense-MXU fallback when the gather
     #: sweep is ineligible (False drops to the scalar sweep instead).
     allow_mxu: bool = True
+    #: gather sweep: re-pretest the candidate masks against the improved
+    #: best-hit t every N unrolled rounds (one compare pass + one packing
+    #: matmul), shrinking the residual loop.  None = measured default;
+    #: 0 = off.
+    cull_every: Optional[int] = None
+    #: gather sweep: drain near-band candidates first (per-lane entry-
+    #: distance pivot) so the re-cull removes most of the far band.
+    #: None = measured default.
+    bands: Optional[bool] = None
 
     def __post_init__(self):
         if self.sweep not in SWEEPS:
@@ -85,6 +94,10 @@ class KernelOptions:
             kw["rounds_unroll"] = int(env["MEGA_UNROLL"])
         if "MEGA_ABLATE" in env:
             kw["ablate"] = env["MEGA_ABLATE"]
+        if "MEGA_CULL" in env:
+            kw["cull_every"] = int(env["MEGA_CULL"])
+        if "MEGA_BANDS" in env:
+            kw["bands"] = env["MEGA_BANDS"] == "1"
         if env.get("MEGA_SEL", "") == "1":
             kw["sweep"] = "selective"
         elif env.get("MEGA_SIEVE", "") == "1":

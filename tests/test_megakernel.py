@@ -156,6 +156,31 @@ def test_sieve_bitwise_vs_dense():
     np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
 
 
+def test_gather_cull_bands_bitwise_vs_dense():
+    """Gather rounds with re-pretest culling + near-first bands must stay
+    bit-identical to the dense scalar sweep: culled clusters provably
+    cannot beat the current best t, and the banded visit order is
+    tie-guarded on sphere id."""
+    from raytrace_tpu.options import KernelOptions
+
+    cs, scene, static, cam, geom, use_dof = _setup(
+        "final-one-weekend.json", width=48, height=27, depth=5)
+    assert static.sph_prefix > 0
+    st_dense = dataclasses.replace(
+        static, kernel_options=KernelOptions(sweep="scalar"))
+    base, rays0, _, _ = render_tile_mega(
+        st_dense, scene, geom, cam, jnp.int32(0), jnp.int32(0),
+        static.height, use_dof, interpret=True)
+    st = dataclasses.replace(
+        static, kernel_options=KernelOptions(
+            sweep="gather", rounds_unroll=6, cull_every=2, bands=True))
+    got, rays1, _, _ = render_tile_mega(
+        st, scene, geom, cam, jnp.int32(0), jnp.int32(0),
+        static.height, use_dof, interpret=True)
+    assert float(rays0) == float(rays1)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
 def test_image_scenes_gated_to_deferred():
     """Image-texture scenes are excluded from the plain megakernel (no
     in-Mosaic atlas fetch) but the single-convex-sphere earth family

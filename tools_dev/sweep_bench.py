@@ -17,9 +17,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _env(gather="1", mxu="0", ablate="", g="8"):
-    return {"MEGA_GATHER": gather, "MEGA_MXU": mxu, "MEGA_SIEVE": "0",
-            "MEGA_SEL": "0", "MEGA_ABLATE": ablate, "MEGA_G": g}
+def _env(gather="1", mxu="0", ablate="", g="8", cull="0", bands="0",
+         unroll=None):
+    env = {"MEGA_GATHER": gather, "MEGA_MXU": mxu, "MEGA_SIEVE": "0",
+           "MEGA_SEL": "0", "MEGA_ABLATE": ablate, "MEGA_G": g,
+           "MEGA_CULL": cull, "MEGA_BANDS": bands}
+    if unroll is not None:
+        env["MEGA_UNROLL"] = str(unroll)
+    return env
 
 
 ENV_FOR_MODE = {
@@ -49,6 +54,17 @@ ENV_FOR_MODE = {
     "gather-mm": {"MEGA_GATHER": "1", "MEGA_ABLATE": "sieve-mm", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0"},
     "gather-mask": {"MEGA_GATHER": "1", "MEGA_ABLATE": "sieve-mask", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0"},
     "gather-fix8": {"MEGA_GATHER": "1", "MEGA_ABLATE": "fixrounds:8", "MEGA_MXU": "0", "MEGA_SIEVE": "0", "MEGA_SEL": "0"},
+    # round-3: re-pretest culling + near-first bands
+    "cull4": _env(g="4", cull="4"),
+    "cull8": _env(g="4", cull="8"),
+    "cull4-un8": _env(g="4", cull="4", unroll=8),
+    "cull4-un12": _env(g="4", cull="4", unroll=12),
+    "cull2-un8": _env(g="4", cull="2", unroll=8),
+    "bands-cull4": _env(g="4", cull="4", bands="1"),
+    "bands-cull4-un8": _env(g="4", cull="4", bands="1", unroll=8),
+    "bands-cull2-un6": _env(g="4", cull="2", bands="1", unroll=6),
+    "bands-cull3-un6": _env(g="4", cull="3", bands="1", unroll=6),
+    "bands-cull4-p35": _env(g="4", cull="4", bands="1", ablate="pivot:0.35"),
 }
 
 
@@ -94,6 +110,8 @@ def main():
                + pix_base).reshape(n_cells * 8, 128)
 
     for mode in modes:
+        for k in ("MEGA_UNROLL", "MEGA_CULL", "MEGA_BANDS"):
+            os.environ.pop(k, None)
         os.environ.update(ENV_FOR_MODE[mode])
         cfg = mk.make_config(static, scene, use_dof)
         cfg = dataclasses.replace(cfg, max_depth=depth,
@@ -102,7 +120,7 @@ def main():
         (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, o2w, light) = tabs
 
         def f(prm):
-            rad, tr, iters = mk.mega_dispatch(
+            rad, tr, iters, _ti = mk.mega_dispatch(
                 cfg, n_cells, cam_tbl, prm, rowsT, sph, sphT, sieveT,
                 w_tbl, bnd, clu, tri, o2w, light, pix_tbl)
             return rad, tr, iters
