@@ -54,6 +54,13 @@ class SceneArrays(NamedTuple):
     atlas: jnp.ndarray
     atlas_wh: jnp.ndarray
     srgb_lut: jnp.ndarray
+    # Image 0's texels, sRGB-decoded to linear f32 and flattened to
+    # [AH*AW, 3] at upload: the deferred-image post-pass is then ONE f32
+    # gather on the kernel-recorded texel index (megakernel._texel_factor)
+    # — gathering uint8 [n,3] + LUT-decoding inside the hot chunk built a
+    # pathologically tiled s32 copy that OOM'd at 8M items.  [1, 3] dummy
+    # for image-free scenes.
+    atlas_flat: jnp.ndarray
     # materials
     lamb_albedo: jnp.ndarray
     metal_albedo: jnp.ndarray
@@ -149,6 +156,9 @@ def upload_scene(cs: CompiledScene, bvh=None, sharding=None):
         noise_scale=f32(cs.noise_scale),
         atlas=jnp.asarray(cs.atlas, jnp.uint8), atlas_wh=i32(cs.atlas_wh),
         srgb_lut=f32(srgb_u8_to_linear_lut()),
+        atlas_flat=f32(srgb_u8_to_linear_lut()[
+            cs.atlas[0].reshape(-1, 3).astype(np.int32)]
+            if n_image else np.zeros((1, 3), np.float32)),
         lamb_albedo=i32(cs.lamb_albedo),
         metal_albedo=i32(cs.metal_albedo), metal_fuzz=i32(cs.metal_fuzz),
         diel_ri=f32(cs.diel_ri), light_emit=i32(cs.light_emit),

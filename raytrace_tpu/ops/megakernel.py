@@ -1709,12 +1709,13 @@ def _texel_factor(scene, ti_items):
     index into image 0's padded atlas plane, quantized in-kernel with
     exactly the wavefront sampler's nearest/repeat math
     (ops/textures.sample_image_nearest ≡ render_engine.rs:241-247).
-    One uint8 gather + sRGB LUT decode — the ~40ns/texel random-HBM
-    gather is the whole remaining cost (measured floor; the reference
-    leans on hardware texture caches here, ray_gen.glsl:193-201)."""
-    atlas0 = scene.atlas[0].reshape(-1, 3)            # [AH*AW, 3] uint8
-    idx = jnp.clip(ti_items.astype(jnp.int32), 0, atlas0.shape[0] - 1)
-    tex = scene.srgb_lut[atlas0[idx].astype(jnp.int32)]
+    One f32 gather from the upload-time sRGB-decoded plane
+    (arrays.SceneArrays.atlas_flat) — the ~40ns/texel random-HBM gather
+    is the whole remaining cost (measured floor; the reference leans on
+    hardware texture caches here, ray_gen.glsl:193-201)."""
+    idx = jnp.clip(ti_items.astype(jnp.int32), 0,
+                   scene.atlas_flat.shape[0] - 1)
+    tex = jnp.take(scene.atlas_flat, idx, axis=0)
     return jnp.where((ti_items >= 0.0)[:, None], tex, 1.0)
 
 

@@ -30,17 +30,26 @@ def main():
     if k <= 0:
         k = sf.render.sample_batches
     sf.render.sample_batches = max(sf.render.sample_batches, 2 * k)
-    cs = compile_scene(sf)
+    w = int(os.environ.get("EARTH_W", "512"))
+    cs = compile_scene(sf, width=w,
+                       height=int(w / (sf.render.aspect_ratio or 1.0)))
 
     r = Renderer(cs, kernel_options=opts)
+
+    def render_k(n):
+        done = 0
+        while done < n:
+            step = min(r.chunk_size(), n - done)
+            r.render_batches(step)
+            done += step
+        jax.block_until_ready(r.accum)
+
     t0 = time.time()
-    r.render_batches(k)
-    jax.block_until_ready(r.accum)
+    render_k(k)
     t_cold = time.time() - t0
     rays0 = r.stats.rays_traced
     t0 = time.time()
-    r.render_batches(k)
-    jax.block_until_ready(r.accum)
+    render_k(k)
     dt = time.time() - t0
     rays = r.stats.rays_traced - rays0
     spp = r.static.sqrt_spp ** 2
