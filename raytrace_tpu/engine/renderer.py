@@ -110,12 +110,11 @@ def _cached_mega_chunk(static, use_dof: bool, k: int, q: int):
     from .wavefront import prepare_batch
 
     def chunk(scene, cam, accum, pix_perm, hist, batch0, times, sph_tabs):
-        n_lanes = pix_perm.shape[0] // q
-        # Item mode (deferred image textures): the slot space is per
-        # (pixel, sample) and chunk-size-dependent, so the next
-        # assignment is rebuilt by the renderer (_deferred_item_perm)
-        # from the per-pixel history instead of in here.
+        # Item mode (deferred image textures): pix_perm is None — items
+        # cost ~the same, so lanes take the identity assignment and the
+        # chunk needs no scatter back to item order (renderer __init__).
         deferred = bool(static.flags.has_image)
+        n_lanes = 0 if deferred else pix_perm.shape[0] // q
         if not static.any_animated:
             # Static scene: all k batches share geometry, so they fuse into
             # ONE kernel call whose lanes run k*spp samples each — the
@@ -203,27 +202,6 @@ def _snake_perm(traced_pix, q: int, n_lanes: int):
     strata = order.reshape(q, n_lanes)
     rows = [strata[s] if s % 2 == 0 else strata[s][::-1] for s in range(q)]
     strata = jnp.stack(rows)                          # [q, n_lanes]
-    n_cells = n_lanes // 1024
-    return strata.reshape(q, n_cells, 1024).transpose(1, 0, 2).reshape(-1)
-
-
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _snake_perm_items(traced_pix, q: int, n_lanes: int, K: int):
-    """Item-mode variant of _snake_perm (deferred image textures): the
-    per-PIXEL cost ranks expand to each pixel's K (pixel, sample) items —
-    consecutive, so a pixel's samples stay on neighbouring lanes — then
-    snake-stratify into q strata exactly like _snake_perm."""
-    n_pix = traced_pix.shape[0]
-    order = jnp.argsort(-traced_pix).astype(jnp.int32)
-    items = (order[:, None] * K
-             + jnp.arange(K, dtype=jnp.int32)[None, :]).reshape(-1)
-    n_items = n_pix * K
-    pad = q * n_lanes - n_items
-    items = jnp.concatenate(
-        [items, jnp.full((pad,), n_items, jnp.int32)])
-    strata = items.reshape(q, n_lanes)
-    rows = [strata[s] if s % 2 == 0 else strata[s][::-1] for s in range(q)]
-    strata = jnp.stack(rows)
     n_cells = n_lanes // 1024
     return strata.reshape(q, n_cells, 1024).transpose(1, 0, 2).reshape(-1)
 
@@ -399,7 +377,6 @@ class Renderer:
         self._traced_hist = None
         self._use_dof = use_dof
         self._mega_items = 1
-        self._have_hist = False
         if self.static.use_megakernel:
             use_sel = (self.static.sph_prefix > 0
                        and self.kernel_options.sweep == "selective")
@@ -409,9 +386,20 @@ class Renderer:
                 # deferred_image_supported): one lane slot per
                 # (pixel, sample) item so the texel post-pass can scale
                 # samples individually; per-batch steps use K=spp
-                # items/pixel.
+                # items/pixel.  Items cost ~the same (single convex
+                # sphere, ~2 segments each), so lanes use the IDENTITY
+                # assignment — measured cell utilization 0.87-0.90
+                # without any permutation, and dropping the perm removes
+                # a 3-component scatter over every item from the chunk
+                # (the round-3 earth bottleneck).  q=8: past 8 the
+                # per-stratum flush writes dominate the uniform-cost
+                # tail they'd be hiding.
                 self._mega_items = self.static.sqrt_spp ** 2
-            if use_sel:
+                if self.kernel_options.q_pix is None:
+                    self._mega_q = 8
+            if self._mega_items > 1:
+                self._pix_perm = None
+            elif use_sel:
                 # Selective sweep wants per-cell frustum coherence
                 # (single-pixel lanes, 32x32 spatial tiles).
                 self._pix_perm = jnp.asarray(tile_pixel_perm(
@@ -419,12 +407,9 @@ class Renderer:
             else:
                 # Dense/gather sweep (default): q-pixel lanes with band-
                 # averaged initial assignment, snake-stratified after
-                # chunk 1.  Item mode sizes the assignment over
-                # n_pix * K items (a virtual W*K-wide image keeps the
-                # band structure aligned with per-row cost).
+                # chunk 1.
                 self._pix_perm = jnp.asarray(banded_pixel_perm(
-                    self.static.height,
-                    self.static.width * self._mega_items, self._mega_q))
+                    self.static.height, self.static.width, self._mega_q))
             self._mega_step = _cached_mega_step(
                 self.static, use_dof, self._mega_q)
             self._traced_hist = jnp.zeros(
@@ -576,12 +561,7 @@ class Renderer:
         chunk_fn = _cached_mega_chunk(
             self.static, self._use_dof, k, self._mega_q)
         if self._mega_items > 1:
-            # Item mode: the slot count depends on how many batches fuse
-            # into this chunk, so the assignment is (re)built per call
-            # from the per-pixel cost history.
-            K_items = (self._mega_items if self.static.any_animated
-                       else self._mega_items * k)
-            perm = self._deferred_item_perm(K_items)
+            perm = None          # identity item assignment (see __init__)
         else:
             perm = (self._cost_perm if self._cost_perm is not None
                     else self._pix_perm)
@@ -595,9 +575,7 @@ class Renderer:
         # Next chunk's lanes are grouped by this chunk's measured pixel
         # cost (the perm is computed inside the fused chunk — no extra
         # dispatch round trip through the device tunnel).
-        if self._mega_items > 1:
-            self._have_hist = True
-        else:
+        if self._mega_items == 1:
             self._cost_perm = next_perm
         trs = np.asarray(trs)  # blocks until the chunk finishes
         self._debug_check(cur + k - 1)
@@ -609,19 +587,6 @@ class Renderer:
         self.stats.rays_traced += float(trs.sum())
         self.stats.render_seconds += dt
         return k
-
-    def _deferred_item_perm(self, K: int):
-        """Item-mode lane assignment for K samples/pixel: snake-stratified
-        from the per-pixel cost history once a chunk has run, banded
-        before."""
-        H, W, q = self.static.height, self.static.width, self._mega_q
-        if self._have_hist:
-            n_items = H * W * K
-            n_lanes = -(-n_items // (1024 * q)) * 1024
-            return _snake_perm_items(self._traced_hist, q, n_lanes, K)
-        if K == self._mega_items:
-            return self._pix_perm
-        return jnp.asarray(banded_pixel_perm(H, W * K, q))
 
     # Fused batches per device call on the megakernel path: big enough to
     # amortize the ~100 ms/call tunnel cost AND the per-lane divergence

@@ -1110,6 +1110,8 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
 
         slots = _fetch_rows(rowsT_ref, jnp.maximum(prim, 0),
                             cfg.P, layout)
+        if "norows" in tags:   # perf triage: stub the one-hot row fetch
+            slots = {j: nzero + 0.25 for j in slots}
         rows = _RowsT(slots)
 
         # --- hit reconstruction (wavefront.reconstruct_hit, fat path)
@@ -1176,14 +1178,26 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         normal = vec3.where(front, n, -n)
 
         # u/v only feed image textures (excluded from the megakernel).
-        state2, srec, emit = shading.scatter_and_emit_v3(
-            state, None, cfg.flags, rows, hp, normal, front,
-            nzero, nzero, ray_d,
-        )
+        if "noshade" in tags:  # perf triage: stub material scatter
+            one3s = V3(nzero + 1.0, nzero + 1.0, nzero + 1.0)
+            srec = shading.ScatterV3(
+                is_scattered=hit, attenuation=one3s,
+                mat_pdf_type=(nzero + 1.0).astype(jnp.int32) * 0,
+                skip_pdf=hit, skip_dir=vec3.where(hit, normal, ray_d))
+            emit = V3(nzero, nzero, nzero)
+            state2 = state
+        else:
+            state2, srec, emit = shading.scatter_and_emit_v3(
+                state, None, cfg.flags, rows, hp, normal, front,
+                nzero, nzero, ray_d,
+            )
         acc = vec3.where(hit, acc + thr * emit, acc)
         scattered = hit & srec.is_scattered
 
-        if cfg.has_lights:
+        if "nonee" in tags:    # perf triage: stub pdf mixing / direction gen
+            mis_thr = thr * srec.attenuation
+            mis_dir = srec.skip_dir
+        elif cfg.has_lights:
             inst = slots[_SLOT_INST].astype(jnp.int32)
             o2w_cols = _o2w_cols_kernel(cfg, o2w_ref, inst, nzero)
             state2, light = _sample_lights_kernel(
@@ -1267,7 +1281,10 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         state = jnp.where(active, state2, state)
 
         regen = (sample_over | jump) & (qi2 < Q)
-        rg_state, rg_o, rg_d = raygen(pix2, sip2)
+        if "noregen" in tags:  # perf triage: stub camera-ray regeneration
+            rg_state, rg_o, rg_d = state, ray_o, ray_d
+        else:
+            rg_state, rg_o, rg_d = raygen(pix2, sip2)
         state = jnp.where(regen, rg_state, state)
         ray_o = vec3.where(regen, rg_o, ray_o)
         ray_d = vec3.where(regen, rg_d, ray_d)

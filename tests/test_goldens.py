@@ -13,8 +13,17 @@ from raytrace_tpu.utils.image import rmse
 HAVE_GOLDENS = os.path.isdir(GOLDEN_DIR) and len(os.listdir(GOLDEN_DIR)) > 0
 
 
+# Fast-set goldens: one scene per major feature family (triangles +
+# checker, emissives/NEE, image texture).  The other 12 run under
+# `pytest -m ""` / `-m slow` (full regression sweep).
+FAST_GOLDENS = {"triangle.json", "cornell-box.json", "earth.json"}
+
+
 @pytest.mark.skipif(not HAVE_GOLDENS, reason="goldens not generated")
-@pytest.mark.parametrize("name", sorted(CONFIGS))
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=[] if n in FAST_GOLDENS else [pytest.mark.slow])
+    for n in sorted(CONFIGS)
+])
 def test_golden(name):
     stem = name.replace(".json", "")
     path = os.path.join(GOLDEN_DIR, stem + ".npz")

@@ -65,11 +65,13 @@ def _compare(name, **kw):
     return np.asarray(ref), np.asarray(got), float(rays_ref), float(rays_got)
 
 
+# Fast set keeps one sphere scene and one quad/triangle scene; the other
+# two run in the slow sweep (same code paths, different assets).
 @pytest.mark.parametrize("name", [
     "diffuse-spheres.json",
-    "checkered-spheres.json",
+    pytest.param("checkered-spheres.json", marks=pytest.mark.slow),
     "quads.json",
-    "triangle.json",
+    pytest.param("triangle.json", marks=pytest.mark.slow),
 ])
 def test_bitwise_parity(name):
     ref, got, rr, rg = _compare(name)
@@ -78,8 +80,8 @@ def test_bitwise_parity(name):
 
 
 @pytest.mark.parametrize("name,max_bad", [
-    ("metal-spheres.json", 8),
-    ("dielectric-spheres.json", 8),
+    pytest.param("metal-spheres.json", 8, marks=pytest.mark.slow),
+    pytest.param("dielectric-spheres.json", 8, marks=pytest.mark.slow),
     ("cornell-box.json", 4),
     # final-one-weekend runs the MXU sphere sweep (>=64 spheres): c.d and
     # c.o accumulate in matmul order, so grazing hits flip at ulp level on
@@ -89,7 +91,7 @@ def test_bitwise_parity(name):
     # the two compiled graphs ~100x (7-octave turbulence), so the marble
     # pattern drifts at FP-noise scale on most surfaces (measured 47
     # pixels > 1e-4 of 2304, channel-mean diff 2.8e-5).
-    ("perlin-spheres.json", 96),
+    pytest.param("perlin-spheres.json", 96, marks=pytest.mark.slow),
 ])
 def test_statistical_parity(name, max_bad):
     """Chaotic scenes: individual rays may diverge at FP noise level; the
@@ -133,6 +135,7 @@ def test_qpix_lanes_bitwise():
     np.testing.assert_array_equal(np.asarray(base), np.asarray(got_s))
 
 
+@pytest.mark.slow
 def test_sieve_bitwise_vs_dense():
     """The opt-in cluster sieve (KernelOptions(sweep="sieve")) must be
     bit-identical to the dense scalar sweep: the pretest is conservative
@@ -156,6 +159,7 @@ def test_sieve_bitwise_vs_dense():
     np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
 
 
+@pytest.mark.slow
 def test_gather_cull_bands_bitwise_vs_dense():
     """Gather rounds with re-pretest culling + near-first bands must stay
     bit-identical to the dense scalar sweep: culled clusters provably
@@ -225,7 +229,10 @@ def test_deferred_image_tile_parity():
     assert abs(ref.mean() - got.mean()) < 1e-5
 
 
-@pytest.mark.parametrize("name", ["earth.json", "earth-motion-blur.json"])
+@pytest.mark.parametrize("name", [
+    "earth.json",
+    pytest.param("earth-motion-blur.json", marks=pytest.mark.slow),
+])
 def test_deferred_image_renderer(name):
     """Renderer integration for the deferred-texel path: fused chunks
     (item-mode lane assignment, incl. the hist-rebuilt second chunk)

@@ -29,7 +29,11 @@ def test_mesh_construction():
     assert mesh41.shape["sp"] == 1
 
 
-@pytest.mark.parametrize("sp", [1, 2, 4])
+@pytest.mark.parametrize("sp", [
+    pytest.param(1, marks=pytest.mark.slow),
+    2,
+    pytest.param(4, marks=pytest.mark.slow),
+])
 def test_sharded_matches_single_chip(small_scene, sp):
     single = Renderer(small_scene).render_all()
     multi = MultiChipRenderer(small_scene, mesh=make_mesh(sp=sp)).render_all()
@@ -154,6 +158,7 @@ def test_sharded_megakernel_matches_single_chip(mega_scene):
     np.testing.assert_allclose(img, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_megakernel_chunk_equals_stepping(mega_scene):
     mesh = make_mesh(sp=2)
     r1 = MultiChipRenderer(mega_scene, mesh=mesh, use_pallas_sweep=True)

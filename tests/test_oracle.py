@@ -39,9 +39,13 @@ def _engine_render(name, w, h, spp, batches, depth):
 
 CASES = [
     # name, W, H, oracle_spp, engine (spp, batches), depth, mean_tol, rmse_tol
-    ("diffuse-spheres.json", 48, 27, 384, (16, 24), 10, 4e-3, 0.02),
+    # quads is the fast-set case (cheapest oracle); the sphere and NEE
+    # cases run in the slow sweep (`pytest -m ""`).
+    pytest.param("diffuse-spheres.json", 48, 27, 384, (16, 24), 10, 4e-3,
+                 0.02, marks=pytest.mark.slow),
     ("quads.json", 32, 32, 384, (16, 16), 6, 4e-3, 0.03),
-    ("cornell-box.json", 32, 32, 512, (64, 8), 8, 6e-3, 0.12),
+    pytest.param("cornell-box.json", 32, 32, 512, (64, 8), 8, 6e-3, 0.12,
+                 marks=pytest.mark.slow),
 ]
 
 

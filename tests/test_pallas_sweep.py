@@ -30,7 +30,11 @@ def _random_case(S, R, seed=0):
     return table5, o, d
 
 
-@pytest.mark.parametrize("S,R", [(3, 100), (21, 500), (64, BLOCK), (100, BLOCK + 7)])
+@pytest.mark.parametrize("S,R", [
+    (3, 100), (21, 500),
+    pytest.param(64, BLOCK, marks=pytest.mark.slow),
+    pytest.param(100, BLOCK + 7, marks=pytest.mark.slow),
+])
 def test_matches_xla_sweep(S, R):
     table5, o, d = _random_case(S, R, seed=S)
     ref = intersect_spheres_world(jnp.asarray(o), jnp.asarray(d), jnp.asarray(table5))
@@ -104,6 +108,7 @@ class TestTriSweep:
         img_pal = Renderer(cs, use_pallas_sweep=True).render_all()
         np.testing.assert_allclose(img_pal, img_ref, atol=2e-3)
 
+    @pytest.mark.slow
     def test_mixed_scene_simple_light(self):
         sf = SceneFile.load_json(reference_asset("simple-light.json"))
         sf.render.samples_per_pixel = 4

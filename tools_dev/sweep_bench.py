@@ -65,6 +65,13 @@ ENV_FOR_MODE = {
     "bands-cull2-un6": _env(g="4", cull="2", bands="1", unroll=6),
     "bands-cull3-un6": _env(g="4", cull="3", bands="1", unroll=6),
     "bands-cull4-p35": _env(g="4", cull="4", bands="1", ablate="pivot:0.35"),
+    # round-3 body decomposition (stage stubs)
+    "body-norows": _env(g="4", ablate="nosieve,nopref,norows"),
+    "body-noshade": _env(g="4", ablate="nosieve,nopref,noshade"),
+    "body-nonee": _env(g="4", ablate="nosieve,nopref,nonee"),
+    "body-noregen": _env(g="4", ablate="nosieve,nopref,noregen"),
+    "body-none": _env(g="4", ablate="nosieve,nopref,norows,noshade,nonee,noregen"),
+    "g4-nopref": _env(g="4", ablate="nosieve,nopref"),
 }
 
 
