@@ -216,6 +216,16 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
     return trace
 
 
+def _direct_normals(static) -> bool:
+    """World-mode uniform spheres whose scenes never read sphere UVs
+    (image textures need the object-space parameterization): the normal
+    is (hit - c_world) * inv_r_world — identical math in the wavefront
+    and the megakernel, so bitwise parity between the two is preserved
+    while the kernel's one-hot fetch drops the 12 w2o rows."""
+    return bool(static.sphere_world_mode and static.use_fat_shading
+                and not static.flags.has_image)
+
+
 def reconstruct_hit(static: SceneStatic, scene: SceneArrays,
                     geom: "BatchGeometry", raw: RawHit, ray_o: V3, ray_d: V3,
                     rows=None) -> HitRecord:
@@ -259,26 +269,37 @@ def reconstruct_hit(static: SceneStatic, scene: SceneArrays,
             tu, tv = tuv[:, 0], tuv[:, 1]
 
     if static.has_spheres:
-        if rows is not None:
-            m_cols = tuple(rows[:, 32 + i] for i in range(12))
+        if rows is not None and _direct_normals(static):
+            # Slots 44:48 carry WORLD c/r (prepare_batch): direct normal,
+            # op-for-op identical to the megakernel's direct path.
             c = V3(rows[:, 44], rows[:, 45], rows[:, 46])
             r = rows[:, 47]
+            sp = ray_o + raw.t * ray_d
+            inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
+            sn = V3((sp.x - c.x) * inv_r, (sp.y - c.y) * inv_r,
+                    (sp.z - c.z) * inv_r)
+            su = sv = jnp.zeros_like(r)   # no sphere UV consumer (gated)
         else:
-            sid = jnp.minimum(raw.prim, s_pad - 1)
-            w2o = geom.sph_w2o[sid]
-            m_cols = tuple(w2o.reshape(R, 12)[:, i] for i in range(12))
-            c = vec3.from_rows(scene.sph_center[sid])
-            r = scene.sph_radius[sid]
-        sp = ray_o + raw.t * ray_d
-        p_obj = vec3.mat34_apply_point(m_cols, sp)
-        inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
-        n_obj = V3((p_obj.x - c.x) * inv_r, (p_obj.y - c.y) * inv_r,
-                   (p_obj.z - c.z) * inv_r)
-        sn = vec3.mat34_apply_transposed_vec(m_cols, n_obj)
-        nn = vec3.normalize(n_obj)
-        # UV per the tessellator's parameterization (mesh.rs:164-178).
-        sv = jnp.arccos(jnp.clip(-nn.y, -1.0, 1.0)) / spheres.PI
-        su = (jnp.arctan2(nn.z, -nn.x) / spheres.TWO_PI) % 1.0
+            if rows is not None:
+                m_cols = tuple(rows[:, 32 + i] for i in range(12))
+                c = V3(rows[:, 44], rows[:, 45], rows[:, 46])
+                r = rows[:, 47]
+            else:
+                sid = jnp.minimum(raw.prim, s_pad - 1)
+                w2o = geom.sph_w2o[sid]
+                m_cols = tuple(w2o.reshape(R, 12)[:, i] for i in range(12))
+                c = vec3.from_rows(scene.sph_center[sid])
+                r = scene.sph_radius[sid]
+            sp = ray_o + raw.t * ray_d
+            p_obj = vec3.mat34_apply_point(m_cols, sp)
+            inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
+            n_obj = V3((p_obj.x - c.x) * inv_r, (p_obj.y - c.y) * inv_r,
+                       (p_obj.z - c.z) * inv_r)
+            sn = vec3.mat34_apply_transposed_vec(m_cols, n_obj)
+            nn = vec3.normalize(n_obj)
+            # UV per the tessellator's parameterization (mesh.rs:164-178).
+            sv = jnp.arccos(jnp.clip(-nn.y, -1.0, 1.0)) / spheres.PI
+            su = (jnp.arctan2(nn.z, -nn.x) / spheres.TWO_PI) % 1.0
 
     if static.has_tris and static.has_spheres:
         sw = raw.is_sphere
@@ -718,9 +739,18 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
         P = scene.shade_rows.shape[0]
         rows = jnp.zeros((P, 64), jnp.float32)
         rows = rows.at[:, 0:32].set(scene.shade_rows)
-        rows = rows.at[:s_pad, 32:44].set(sph_w2o.reshape(s_pad, 12))
-        rows = rows.at[:s_pad, 44:47].set(scene.sph_center)
-        rows = rows.at[:s_pad, 47].set(scene.sph_radius)
+        if _direct_normals(static):
+            # World-mode uniform spheres without sphere UVs: slots
+            # 44:48 carry the per-batch WORLD center/radius and the
+            # normal is computed directly from them (reconstruct_hit /
+            # megakernel) — the 12 w2o slots stay zero and drop out of
+            # the kernel's one-hot fetch.
+            rows = rows.at[:s_pad, 44:47].set(sph_table[:s_pad, 0:3])
+            rows = rows.at[:s_pad, 47].set(sph_table[:s_pad, 3])
+        else:
+            rows = rows.at[:s_pad, 32:44].set(sph_w2o.reshape(s_pad, 12))
+            rows = rows.at[:s_pad, 44:47].set(scene.sph_center)
+            rows = rows.at[:s_pad, 47].set(scene.sph_radius)
         rows = rows.at[:s_pad, 48].set(scene.sph_inst.astype(jnp.float32))
         rows = rows.at[s_pad:, 48].set(scene.tri_inst.astype(jnp.float32))
         prim_rows = rows

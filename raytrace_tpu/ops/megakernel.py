@@ -173,6 +173,25 @@ class MegaConfig:
     # removes most of the far band.  Adds an id tie-break to keep the
     # dense sweep's lowest-id tie order under out-of-order visiting.
     use_bands: bool = False
+    # Idle-lane adoption: after the pretest, a lane with NO candidates
+    # adopts the odd-position candidate bits (exact half-split for any
+    # distribution) and the ray of its +64 partner lane, halving the
+    # heavy lane's round count; results merge back with a (t, id)
+    # lexicographic min, which reproduces the ascending-id strict-<
+    # sweep exactly.  One-time rolls/selects (~tens of ops) against the
+    # worst-lane rounds tail the cell otherwise pays.
+    use_balance: bool = False
+    # Direct world-space sphere normals: in world-sphere mode every
+    # instance transform is rigid + uniform scale, so the surface normal
+    # is (hit - c_world) * inv_r_world (sign of r preserved for bubble
+    # interiors) — the 12 w2o slots drop out of the one-hot fetch, which
+    # shrinks the fetch matmul from ~60 to ~24 rows (measured 0.87
+    # us/cell-iter, the body's largest stage).  Off when the scene needs
+    # sphere UVs (image textures ride the object-space normal for
+    # rotated parameterizations); prepare_batch stores world c/r in the
+    # 44:48 slots under the same condition so the XLA wavefront computes
+    # the identical normal (bitwise kernel parity preserved).
+    direct_normals: bool = False
 
 
 def _fetch_rows(rowsT_ref, prim, P: int, layout):
@@ -468,6 +487,43 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
                                        axis=1)
         return jnp.take_along_axis(row, ci, axis=1)
 
+    # Idle-lane adoption (cfg.use_balance): lanes with no candidates take
+    # the odd-position bits + ray of their +64 partner (roll by 64 over
+    # 128 lanes is an involution, so pairs are symmetric).  rbody closes
+    # over o/d/... late-bound, so rebinding them here redirects the whole
+    # round loop; the merge below restores per-ray results exactly
+    # ((t, id) lexicographic min == ascending-id strict-< sweep).
+    balanced = cfg.use_balance and "nobalance" not in tags0
+    if balanced:
+        rl = lambda x: pltpu.roll(x, 64, 1)
+        cnt0 = izero
+        for m in masks:
+            cnt0 = cnt0 + jax.lax.population_count(m)
+        take = (cnt0 == 0) & (rl(cnt0) >= 4)
+        give = rl(take)
+        _EV = jnp.int32(0x55555555)
+        _OD = jnp.int32(-0x55555556)        # 0xAAAAAAAA
+        masks = [jnp.where(take, rl(m) & _OD,
+                           jnp.where(give, m & _EV, m)) for m in masks]
+        bt_own, bid_own = bt, bid
+        sel = lambda x: jnp.where(take, rl(x), x)
+        o = V3(sel(o.x), sel(o.y), sel(o.z))
+        d = V3(sel(d.x), sel(d.y), sel(d.z))
+        a, inv_a, ddo, osq = sel(a), sel(inv_a), sel(ddo), sel(osq)
+        bt = sel(bt)
+        bid = jnp.where(take, rl(bid), bid)
+
+    def merge(bt_r, bid_r):
+        if not balanced:
+            return bt_r, bid_r
+        pb = pltpu.roll(bt_r, 64, 1)
+        pi = pltpu.roll(bid_r, 64, 1)
+        use = give & ((pb < bt_r) | ((pb == bt_r) & (pi < bid_r)))
+        bt_f = jnp.where(use, pb, bt_r)
+        bid_f = jnp.where(use, pi, bid_r)
+        return (jnp.where(take, bt_own, bt_f),
+                jnp.where(take, bid_own, bid_f))
+
     def rbody(i, carry):
         bt, bid, *ms = carry
         ci = izero
@@ -515,7 +571,14 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
     def cull(carry):
         bt_c, bid_c, *ms = carry
         fresh = remask(bt_c)
-        ms = [m & fresh[w % n_cwords] for w, m in enumerate(ms)]
+        if balanced:
+            # the re-pretest is computed against each lane's OWN ray;
+            # adopted lanes carry their partner's ray, so they keep
+            # their masks unculled.
+            ms = [jnp.where(take, m, m & fresh[w % n_cwords])
+                  for w, m in enumerate(ms)]
+        else:
+            ms = [m & fresh[w % n_cwords] for w, m in enumerate(ms)]
         return tuple([bt_c, bid_c] + ms)
 
     cnt = izero
@@ -530,7 +593,7 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
         n_rounds = int(fix[0].split(":")[1]) if ":" in fix[0] else 8
         out = jax.lax.fori_loop(0, n_rounds, rbody,
                                 tuple([bt, bid] + masks))
-        return out[0], out[1]
+        return merge(out[0], out[1])
     n_un = cfg.rounds_unroll
     if unroll:                 # perf triage: override the unroll depth
         n_un = int(unroll[0].split(":")[1]) if ":" in unroll[0] else 12
@@ -552,10 +615,10 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
         else:
             residual = jnp.maximum(jnp.max(cnt) - n_un, 0)
         out = jax.lax.fori_loop(0, residual, rbody, carry)
-        return out[0], out[1]
+        return merge(out[0], out[1])
     n_rounds = jnp.max(cnt)
     out = jax.lax.fori_loop(0, n_rounds, rbody, tuple([bt, bid] + masks))
-    return out[0], out[1]
+    return merge(out[0], out[1])
 
 
 def _flat_row(x):
@@ -963,28 +1026,29 @@ _SHADE_SLOTS = tuple(range(28))
 def _fetch_layout(cfg: MegaConfig):
     """(shading, geometry, exact) slots fetched per hit.
 
-    Shading constants tolerate one bf16 matmul pass (<=2e-3 relative:
-    albedo/fuzz tints; inst/mat ids are small ints, exact in bf16).
-    GEOMETRY (w2o, sphere center/radius, triangle normals) and texture
-    AUX values feeding sin()/floor() (noise scales, checker scales)
-    ride as full-exact _split3 triples — bf16-rounded geometry tilts
-    normals on non-identity transforms and a bf16 scale shifts every
-    noise stripe visibly.  Everything still fits ONE default-precision
-    one-hot matmul."""
-    shade = {0, 1, 2, 3, 4, 5, 6, 7, 11}
-    exact = {12}
+    Small-int ids/modes are exact in one bf16 matmul pass; every COLOR /
+    physics constant (albedo, fuzz, RI, emission, checker colours) and
+    every GEOMETRY value (w2o, sphere center/radius, triangle normals)
+    rides as a full-exact _split3 triple.  Round-3 audit: bf16 albedo
+    tinted channel means by ~2.6e-3 relative (PRECISION.json triangle
+    row), over the 1e-3 RMSE north star — and the direct-normal path
+    freed 36 w2o rows, so exactness here still nets a smaller matmul
+    (~60 -> ~38 rows on final-one-weekend).  Everything fits ONE
+    default-precision one-hot matmul."""
+    shade = {0, 11}
+    exact = {1, 2, 3, 4, 5, 6, 7, 12}
     if cfg.flags.has_emissive:
-        shade.update({8, 9, 10, 15})
-        exact.add(16)
+        shade.add(15)
+        exact.update({8, 9, 10, 16})
     if cfg.flags.has_checker:
-        shade.update(range(18, 25))
-        exact.update({17, 25, 27})
-        shade.add(26)
+        shade.update({24, 26})
+        exact.update({17, 18, 19, 20, 21, 22, 23, 25, 27})
     if cfg.has_lights:
         shade.add(_SLOT_INST)
     geo = set()
     if cfg.n_spheres:
-        geo.update(range(_SLOT_W2O, _SLOT_W2O + 12))
+        if not cfg.direct_normals:
+            geo.update(range(_SLOT_W2O, _SLOT_W2O + 12))
         geo.update(range(_SLOT_C, _SLOT_C + 3))
         geo.add(_SLOT_R)
     if cfg.n_tris:
@@ -1123,14 +1187,21 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         else:
             hp = tp
         if cfg.n_spheres:
-            m_cols = tuple(slots[_SLOT_W2O + i] for i in range(12))
             c = V3(slots[_SLOT_C], slots[_SLOT_C + 1], slots[_SLOT_C + 2])
             r = slots[_SLOT_R]
-            p_obj = vec3.mat34_apply_point(m_cols, sp)
             inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
-            n_obj = V3((p_obj.x - c.x) * inv_r, (p_obj.y - c.y) * inv_r,
-                       (p_obj.z - c.z) * inv_r)
-            sn = vec3.mat34_apply_transposed_vec(m_cols, n_obj)
+            if cfg.direct_normals:
+                # world-mode uniform spheres: slots carry WORLD c/r
+                # (prepare_batch), so the normal is direct — no w2o
+                # fetch, no object-space round trip.
+                sn = V3((sp.x - c.x) * inv_r, (sp.y - c.y) * inv_r,
+                        (sp.z - c.z) * inv_r)
+            else:
+                m_cols = tuple(slots[_SLOT_W2O + i] for i in range(12))
+                p_obj = vec3.mat34_apply_point(m_cols, sp)
+                n_obj = V3((p_obj.x - c.x) * inv_r, (p_obj.y - c.y) * inv_r,
+                           (p_obj.z - c.z) * inv_r)
+                sn = vec3.mat34_apply_transposed_vec(m_cols, n_obj)
             if ti_ref is not None:
                 # Deferred image textures: record the PRIMARY hit's texel
                 # index (UV math ≡ wavefront.reconstruct_hit + nearest/
@@ -1628,6 +1699,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     # blocks to checkpoint between).
     cull_every = opts.cull_every if opts.cull_every is not None else 0
     use_bands = opts.bands if opts.bands is not None else False
+    use_balance = opts.balance if opts.balance is not None else False
     if rounds_unroll == 0:
         cull_every = 0
     flags = static.flags
@@ -1668,6 +1740,8 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         rounds_unroll=rounds_unroll if use_gather else 0,
         cull_every=cull_every if use_gather else 0,
         use_bands=use_bands and use_gather,
+        use_balance=use_balance and use_gather,
+        direct_normals=bool(static.sphere_world_mode) and not item_mode,
         ablate=opts.ablate,
     )
 

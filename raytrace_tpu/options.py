@@ -70,6 +70,10 @@ class KernelOptions:
     #: distance pivot) so the re-cull removes most of the far band.
     #: None = measured default.
     bands: Optional[bool] = None
+    #: gather sweep: idle-lane adoption — candidate-less lanes take half
+    #: of their +64 partner's candidates + ray, shrinking the worst-lane
+    #: rounds tail.  None = measured default.
+    balance: Optional[bool] = None
 
     def __post_init__(self):
         if self.sweep not in SWEEPS:
@@ -98,6 +102,8 @@ class KernelOptions:
             kw["cull_every"] = int(env["MEGA_CULL"])
         if "MEGA_BANDS" in env:
             kw["bands"] = env["MEGA_BANDS"] == "1"
+        if "MEGA_BALANCE" in env:
+            kw["balance"] = env["MEGA_BALANCE"] == "1"
         if env.get("MEGA_SEL", "") == "1":
             kw["sweep"] = "selective"
         elif env.get("MEGA_SIEVE", "") == "1":

@@ -24,24 +24,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-DEFAULT_SCENES = [
-    "triangle.json",            # triangles + checker + gradient sky
-    "perlin-spheres.json",      # in-kernel Perlin (marble)
-    "cornell-box.json",         # emissives + NEE/MIS, black sky
-    "earth.json",               # image texture (deferred texel + poly trig)
-    "final-one-weekend.json",   # flagship: 488 spheres, MXU/gather sweep, DOF
-]
+# scene -> (width, batches) override: both paths render the IDENTICAL
+# config (shared RNG streams -> per-pixel comparability); where the XLA
+# wavefront reference is 100-1000x slower than the kernel, the batch
+# count / resolution shrinks — kernel precision error is config-
+# independent.  None = shipped config.
+DEFAULT_SCENES = {
+    "triangle.json": None,            # triangles + checker + gradient sky
+    "perlin-spheres.json": (512, 1),  # in-kernel Perlin (wavefront ~0.1 Mrays/s)
+    "cornell-box.json": (512, 4),     # emissives + NEE/MIS, black sky
+    "earth.json": (512, 4),           # image texture (deferred texel + poly trig)
+    "final-one-weekend.json": (None, 4),  # 488 spheres, MXU/gather sweep, DOF
+}
 
 
-def render(path, use_kernel: bool):
+def render(path, use_kernel: bool, cfg):
     import jax
     from raytrace_tpu.engine import Renderer
     from raytrace_tpu.models import compile_scene
-    from raytrace_tpu.options import KernelOptions
     from raytrace_tpu.scene_file import SceneFile
 
     sf = SceneFile.load_json(path)
-    cs = compile_scene(sf)
+    kw = {}
+    if cfg is not None:
+        w, batches = cfg
+        if batches:
+            sf.render.sample_batches = min(sf.render.sample_batches, batches)
+        if w:
+            kw = dict(width=w, height=int(w / (sf.render.aspect_ratio or 1.0)))
+    cs = compile_scene(sf, **kw)
     r = Renderer(cs, use_pallas_sweep=use_kernel)
     t0 = time.time()
     img = r.render_all()
@@ -50,12 +61,14 @@ def render(path, use_kernel: bool):
 
 
 def main():
-    names = os.environ.get("AUDIT_SCENES", ",".join(DEFAULT_SCENES))
+    names = os.environ.get("AUDIT_SCENES", "")
+    scenes = ({n: DEFAULT_SCENES.get(n) for n in names.split(",")}
+              if names else DEFAULT_SCENES)
     rows = []
-    for name in names.split(","):
+    for name, cfg in scenes.items():
         path = f"/root/reference/assets/{name}"
-        ref, t_ref = render(path, use_kernel=False)
-        got, t_got = render(path, use_kernel=True)
+        ref, t_ref = render(path, use_kernel=False, cfg=cfg)
+        got, t_got = render(path, use_kernel=True, cfg=cfg)
         d = np.abs(got - ref)
         denom = np.maximum(np.abs(ref), 1e-3)
         rel = d / denom

@@ -18,10 +18,10 @@ import numpy as np
 
 
 def _env(gather="1", mxu="0", ablate="", g="8", cull="0", bands="0",
-         unroll=None):
+         unroll=None, balance="0"):
     env = {"MEGA_GATHER": gather, "MEGA_MXU": mxu, "MEGA_SIEVE": "0",
            "MEGA_SEL": "0", "MEGA_ABLATE": ablate, "MEGA_G": g,
-           "MEGA_CULL": cull, "MEGA_BANDS": bands}
+           "MEGA_CULL": cull, "MEGA_BANDS": bands, "MEGA_BALANCE": balance}
     if unroll is not None:
         env["MEGA_UNROLL"] = str(unroll)
     return env
@@ -65,6 +65,13 @@ ENV_FOR_MODE = {
     "bands-cull2-un6": _env(g="4", cull="2", bands="1", unroll=6),
     "bands-cull3-un6": _env(g="4", cull="3", bands="1", unroll=6),
     "bands-cull4-p35": _env(g="4", cull="4", bands="1", ablate="pivot:0.35"),
+    # round-3 idle-lane adoption
+    "bal": _env(g="4", balance="1"),
+    "bal-un8": _env(g="4", balance="1", unroll=8),
+    "bal-un10": _env(g="4", balance="1", unroll=10),
+    "bal-un12": _env(g="4", balance="1", unroll=12),
+    "un8": _env(g="4", unroll=8),
+    "un12": _env(g="4", unroll=12),
     # round-3 body decomposition (stage stubs)
     "body-norows": _env(g="4", ablate="nosieve,nopref,norows"),
     "body-noshade": _env(g="4", ablate="nosieve,nopref,noshade"),
@@ -117,7 +124,7 @@ def main():
                + pix_base).reshape(n_cells * 8, 128)
 
     for mode in modes:
-        for k in ("MEGA_UNROLL", "MEGA_CULL", "MEGA_BANDS"):
+        for k in ("MEGA_UNROLL", "MEGA_CULL", "MEGA_BANDS", "MEGA_BALANCE"):
             os.environ.pop(k, None)
         os.environ.update(ENV_FOR_MODE[mode])
         cfg = mk.make_config(static, scene, use_dof)
