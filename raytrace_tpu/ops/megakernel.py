@@ -173,14 +173,22 @@ class MegaConfig:
     # removes most of the far band.  Adds an id tie-break to keep the
     # dense sweep's lowest-id tie order under out-of-order visiting.
     use_bands: bool = False
-    # Idle-lane adoption: after the pretest, a lane with NO candidates
-    # adopts the odd-position candidate bits (exact half-split for any
-    # distribution) and the ray of its +64 partner lane, halving the
-    # heavy lane's round count; results merge back with a (t, id)
-    # lexicographic min, which reproduces the ascending-id strict-<
-    # sweep exactly.  One-time rolls/selects (~tens of ops) against the
-    # worst-lane rounds tail the cell otherwise pays.
-    use_balance: bool = False
+    # Lane balancing mode for the gather rounds ("" = off).  A cell pays
+    # its worst lane's candidate count (measured mean ~3.4 clusters/ray
+    # vs cell-max ~10-16, tools_dev/cull_study.py), so redistribution is
+    # worth up to ~3x:
+    #  - "idle": a lane with NO candidates adopts the odd-position
+    #    candidate bits + ray of its +64 partner, halving that lane's
+    #    rounds; one-time rolls/selects.
+    #  - "pair": every (l, l+64) pair splits its COMBINED candidate list
+    #    by global-rank parity so both lanes sweep ceil((cA+cB)/2)
+    #    rounds — the optimal 2-way split for any distribution.  Rank
+    #    parity comes from one triangular matmul at pretest time; dual
+    #    (own-ray, partner-ray) accumulators merge with a (t, id)
+    #    lexicographic min.
+    # Both modes reproduce the ascending-id strict-< dense sweep
+    # bit-exactly (tests/test_megakernel.py).
+    use_balance: str = ""
     # Direct world-space sphere normals: in world-sphere mode every
     # instance transform is rigid + uniform scale, so the surface normal
     # is (hit - c_world) * inv_r_world (sign of r preserved for bubble
@@ -493,7 +501,7 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
     # over o/d/... late-bound, so rebinding them here redirects the whole
     # round loop; the merge below restores per-ray results exactly
     # ((t, id) lexicographic min == ascending-id strict-< sweep).
-    balanced = cfg.use_balance and "nobalance" not in tags0
+    balanced = cfg.use_balance == "idle" and "nobalance" not in tags0
     if balanced:
         rl = lambda x: pltpu.roll(x, 64, 1)
         cnt0 = izero
@@ -621,6 +629,162 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
     return merge(out[0], out[1])
 
 
+def _cluster_rounds_pair(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
+                         inv_a, ddo, osq, bt, bid, masks_even, masks_odd,
+                         izero):
+    """Gather rounds with PAIRWISE candidate splitting (use_balance="pair").
+
+    Each lane pair (l, l+64) splits the pair's combined candidate list
+    (lane l's candidates in ascending cluster id, then lane l+64's) by
+    global-rank parity: even global ranks execute on the pair's first
+    lane, odd on the second, so BOTH lanes sweep ceil((cA+cB)/2) rounds
+    — the optimal 2-way split for any count distribution, vs the cell
+    otherwise paying max(cA, cB).  masks_even / masks_odd carry each
+    lane's own candidates at even / odd OWN-rank (packed at pretest time
+    from one triangular matmul); the keep/adopt reshuffle below turns
+    own-rank parity into global-rank parity using the first lane's count
+    parity (global rank of a second-list candidate = cnt_first + rank).
+
+    A lane drains its kept own candidates first (ascending id), then its
+    adopted partner candidates (ascending id), selecting the matching
+    ray per round; separate (own-ray, partner-ray) accumulators each see
+    an ascending-id stream under strict <, and the final (t, id)
+    lexicographic merge across the pair reproduces the dense ascending-
+    id strict-< sweep bit-exactly."""
+    G = cfg.clu_g
+    n_words = len(masks_even)
+    tags = set(cfg.ablate.split(","))
+    uniform_ci = "uniformci" in tags
+    no_fetch = "nofetch" in tags
+    rl = lambda x: pltpu.roll(x, 64, 1)
+
+    def fetch(f, ci):
+        # Load + broadcast INSIDE the loop body (see _cluster_rounds_gather).
+        row = jnp.broadcast_to(cluG_ref[f:f + 1, :], (SUB, 128))
+        if no_fetch:
+            return row + (ci & 1).astype(jnp.float32)
+        if uniform_ci:
+            return jnp.take_along_axis(row, ci * 0 + (ci[0:1, 0:1] & 127),
+                                       axis=1)
+        return jnp.take_along_axis(row, ci, axis=1)
+
+    cnt_all = izero
+    for m in masks_even:
+        cnt_all = cnt_all + jax.lax.population_count(m)
+    for m in masks_odd:
+        cnt_all = cnt_all + jax.lax.population_count(m)
+    lane = jax.lax.broadcasted_iota(jnp.int32, bt.shape, 1)
+    is_first = lane < 64
+    cnt_first = jnp.where(is_first, cnt_all, rl(cnt_all))
+    f_even = (cnt_first & 1) == 0
+    # keep: own candidates assigned to me.  First lane keeps even global
+    # ranks = even own ranks; second lane keeps odd global ranks, whose
+    # own-rank parity flips with cnt_first.
+    keep = [jnp.where(is_first, me, jnp.where(f_even, mo, me))
+            for me, mo in zip(masks_even, masks_odd)]
+    # adopt: partner candidates assigned to me (tested against the
+    # partner's ray).  First lane adopts even global ranks of the
+    # partner's (second) list — own-rank parity flips with cnt_first;
+    # second lane adopts odd global ranks of the first list = odd ranks.
+    adopt = [jnp.where(is_first, jnp.where(f_even, rl(me), rl(mo)), rl(mo))
+             for me, mo in zip(masks_even, masks_odd)]
+
+    cnt = izero
+    for m in keep:
+        cnt = cnt + jax.lax.population_count(m)
+    for m in adopt:
+        cnt = cnt + jax.lax.population_count(m)
+    if "norounds" in tags:     # perf triage: pretest + split cost only
+        return bt, bid + jnp.minimum(cnt, 1) * 0
+
+    # Partner-ray values (rolled once; loop-invariant).
+    o2 = V3(rl(o.x), rl(o.y), rl(o.z))
+    d2 = V3(rl(d.x), rl(d.y), rl(d.z))
+    a2, inv_a2, ddo2, osq2 = rl(a), rl(inv_a), rl(ddo), rl(osq)
+
+    bt_a0 = bt * 0.0 + T_MAX
+    bid_a0 = izero + jnp.int32(0x3FFFFFFF)
+
+    def rbody(i, carry):
+        bt_s, bid_s, bt_a, bid_a = carry[:4]
+        kws, aws = carry[4:4 + n_words], carry[4 + n_words:]
+        ci = izero
+        taken = izero == 1  # all-false
+        new_k, new_a = [], []
+        for w in range(n_words):
+            m = kws[w]
+            has = (m != 0) & ~taken
+            b = m & -m
+            idx = jax.lax.population_count(b - 1) + 32 * w
+            ci = jnp.where(has, idx, ci)
+            new_k.append(jnp.where(has, m ^ b, m))
+            taken = taken | has
+        own = taken
+        for w in range(n_words):
+            m = aws[w]
+            has = (m != 0) & ~taken
+            b = m & -m
+            idx = jax.lax.population_count(b - 1) + 32 * w
+            ci = jnp.where(has, idx, ci)
+            new_a.append(jnp.where(has, m ^ b, m))
+            taken = taken | has
+        pending = taken
+
+        sel = lambda x, y: jnp.where(own, x, y)
+        ox, oy, oz = sel(o.x, o2.x), sel(o.y, o2.y), sel(o.z, o2.z)
+        dx, dy, dz = sel(d.x, d2.x), sel(d.y, d2.y), sel(d.z, d2.z)
+        a_c, inv_a_c = sel(a, a2), sel(inv_a, inv_a2)
+        ddo_c, osq_c = sel(ddo, ddo2), sel(osq, osq2)
+        bt_c, bid_c = sel(bt_s, bt_a), sel(bid_s, bid_a)
+
+        base = cfg.n_prefix + ci * G
+        for s in range(G):
+            cx = fetch(4 * s + 0, ci)
+            cy = fetch(4 * s + 1, ci)
+            cz = fetch(4 * s + 2, ci)
+            k = fetch(4 * s + 3, ci)
+            dc = cx * dx + cy * dy + cz * dz
+            oc = cx * ox + cy * oy + cz * oz
+            h = ddo_c - dc
+            c2 = osq_c - 2.0 * oc + k
+            sq = jnp.sqrt(h * h - a_c * c2)
+            t1 = (-h - sq) * inv_a_c
+            t2 = (-h + sq) * inv_a_c
+            t = jnp.where(t1 > T_MIN, t1,
+                          jnp.where(t2 > T_MIN, t2, T_MAX))
+            t = jnp.where(t < T_MAX, t, T_MAX)
+            better = pending & (t < bt_c)
+            bt_c = jnp.where(better, t, bt_c)
+            bid_c = jnp.where(better, base + s, bid_c)
+        bt_s = jnp.where(own, bt_c, bt_s)
+        bid_s = jnp.where(own, bid_c, bid_s)
+        bt_a = jnp.where(own, bt_a, bt_c)
+        bid_a = jnp.where(own, bid_a, bid_c)
+        return tuple([bt_s, bid_s, bt_a, bid_a] + new_k + new_a)
+
+    def merge(out):
+        bt_s, bid_s, bt_a, bid_a = out[:4]
+        pb, pi = rl(bt_a), rl(bid_a)
+        use = (pb < bt_s) | ((pb == bt_s) & (pi < bid_s))
+        return jnp.where(use, pb, bt_s), jnp.where(use, pi, bid_s)
+
+    carry = tuple([bt, bid, bt_a0, bid_a0] + keep + adopt)
+    fix = [t for t in tags if t.startswith("fixrounds")]
+    if fix:                    # perf triage: static trip count
+        n_rounds = int(fix[0].split(":")[1]) if ":" in fix[0] else 8
+        return merge(jax.lax.fori_loop(0, n_rounds, rbody, carry))
+    n_un = cfg.rounds_unroll
+    unroll = [t for t in tags if t.startswith("unroll")]
+    if unroll:                 # perf triage: override the unroll depth
+        n_un = int(unroll[0].split(":")[1]) if ":" in unroll[0] else 12
+    if n_un:
+        for r in range(n_un):
+            carry = rbody(r, carry)
+        residual = jnp.maximum(jnp.max(cnt) - n_un, 0)
+        return merge(jax.lax.fori_loop(0, residual, rbody, carry))
+    return merge(jax.lax.fori_loop(0, jnp.max(cnt), rbody, carry))
+
+
 def _flat_row(x):
     """(8,128) lane tile -> (1,1024) row (sublane-major lane order).
 
@@ -733,6 +897,27 @@ def _sweep_sieve(cfg: MegaConfig, sieveT_ref, w_ref, clu_ref, o: V3, d: V3,
         return jnp.minimum(bt, _unflat_row(mask_f[0:1]) + BIGF), bid
 
     remask = (lambda b: pack(sel_of(b))) if cfg.cull_every else None
+
+    if cfg.use_balance == "pair" and cfg.use_gather:
+        # Pairwise split (use_balance="pair"): per-candidate OWN rank
+        # from one strict-lower-triangular matmul (0/1 entries, exact in
+        # any matmul precision; counts <= Cp are exact f32 sums), split
+        # by rank parity into two packed mask sets.  The global-rank
+        # reshuffle happens lane-locally in _cluster_rounds_pair.
+        ii = jax.lax.broadcasted_iota(jnp.int32, (Cp, Cp), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (Cp, Cp), 1)
+        tril = (jj < ii).astype(jnp.float32)
+        mask_f0 = sel0.astype(jnp.float32) * active_f
+        pre = jax.lax.dot_general(
+            tril, mask_f0, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)            # [Cp, 1024]
+        even_r = (pre - 2.0 * jnp.floor(pre * 0.5)) == 0.0
+        masks_even = pack(sel0 & even_r)
+        masks_odd = pack(sel0 & ~even_r)
+        return _cluster_rounds_pair(cfg, clu_ref, o, d, a, inv_a, ddo,
+                                    osq, bt, bid, masks_even, masks_odd,
+                                    izero)
 
     if cfg.use_bands and cfg.use_gather:
         # Per-lane entry-distance pivot: near candidates (t1 <= pivot)
@@ -1699,7 +1884,13 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     # blocks to checkpoint between).
     cull_every = opts.cull_every if opts.cull_every is not None else 0
     use_bands = opts.bands if opts.bands is not None else False
-    use_balance = opts.balance if opts.balance is not None else False
+    bal = opts.balance
+    balance = ("idle" if bal is True else bal) if bal else ""
+    if balance == "pair":
+        # pair mode owns the candidate ordering: bands/cull reshuffle or
+        # shrink masks mid-sweep, which the rank-parity split predates.
+        use_bands = False
+        cull_every = 0
     if rounds_unroll == 0:
         cull_every = 0
     flags = static.flags
@@ -1740,7 +1931,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         rounds_unroll=rounds_unroll if use_gather else 0,
         cull_every=cull_every if use_gather else 0,
         use_bands=use_bands and use_gather,
-        use_balance=use_balance and use_gather,
+        use_balance=balance if use_gather else "",
         direct_normals=bool(static.sphere_world_mode) and not item_mode,
         ablate=opts.ablate,
     )

@@ -70,10 +70,13 @@ class KernelOptions:
     #: distance pivot) so the re-cull removes most of the far band.
     #: None = measured default.
     bands: Optional[bool] = None
-    #: gather sweep: idle-lane adoption — candidate-less lanes take half
-    #: of their +64 partner's candidates + ray, shrinking the worst-lane
-    #: rounds tail.  None = measured default.
-    balance: Optional[bool] = None
+    #: gather sweep: lane-balancing mode for the candidate rounds (a cell
+    #: pays its worst lane's count).  True/"idle" — candidate-less lanes
+    #: take half of their +64 partner's candidates + ray; "pair" — every
+    #: (l, l+64) pair splits its combined list by global-rank parity so
+    #: both lanes sweep ceil((cA+cB)/2) rounds.  Both bit-exact vs the
+    #: dense sweep.  None = measured default; False = off.
+    balance: Optional[object] = None
 
     def __post_init__(self):
         if self.sweep not in SWEEPS:
@@ -81,6 +84,10 @@ class KernelOptions:
                 f"sweep must be one of {SWEEPS}, got {self.sweep!r}")
         if self.q_pix is not None and self.q_pix < 1:
             raise ValueError(f"q_pix must be >= 1, got {self.q_pix}")
+        if self.balance not in (None, True, False, "idle", "pair"):
+            raise ValueError(
+                "balance must be None/True/False/'idle'/'pair', "
+                f"got {self.balance!r}")
 
     def with_env_overrides(self) -> "KernelOptions":
         """Apply MEGA_* env overrides (env wins over constructor values).
@@ -103,7 +110,8 @@ class KernelOptions:
         if "MEGA_BANDS" in env:
             kw["bands"] = env["MEGA_BANDS"] == "1"
         if "MEGA_BALANCE" in env:
-            kw["balance"] = env["MEGA_BALANCE"] == "1"
+            v = env["MEGA_BALANCE"]
+            kw["balance"] = (v in ("idle", "pair") and v) or v == "1"
         if env.get("MEGA_SEL", "") == "1":
             kw["sweep"] = "selective"
         elif env.get("MEGA_SIEVE", "") == "1":

@@ -72,6 +72,13 @@ ENV_FOR_MODE = {
     "bal-un12": _env(g="4", balance="1", unroll=12),
     "un8": _env(g="4", unroll=8),
     "un12": _env(g="4", unroll=12),
+    # round-3 pairwise candidate split
+    "pair": _env(g="4", balance="pair"),
+    "pair-un6": _env(g="4", balance="pair", unroll=6),
+    "pair-un8": _env(g="4", balance="pair", unroll=8),
+    "pair-un10": _env(g="4", balance="pair", unroll=10),
+    "pair-un12": _env(g="4", balance="pair", unroll=12),
+    "pair-norounds": _env(g="4", balance="pair", ablate="norounds"),
     # round-3 body decomposition (stage stubs)
     "body-norows": _env(g="4", ablate="nosieve,nopref,norows"),
     "body-noshade": _env(g="4", ablate="nosieve,nopref,noshade"),
