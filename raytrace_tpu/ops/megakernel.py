@@ -189,6 +189,18 @@ class MegaConfig:
     # Both modes reproduce the ascending-id strict-< dense sweep
     # bit-exactly (tests/test_megakernel.py).
     use_balance: str = ""
+    # AABB slab pretest for the sieve/gather candidate masks (replaces
+    # the cluster bounding-sphere quadratic).  Morton runs of G spheres
+    # make long thin boxes whose bounding spheres are loose: measured on
+    # final-one-weekend bounce populations (tools_dev/balance_sim.py),
+    # the box test passes mean ~2.5-3.0 clusters/ray vs the sphere
+    # test's ~6.5-10, cutting expected cell-max rounds ~25 -> ~12-17.
+    # Costs ~2x the pretest passes but skips the sieve matmul; bit-exact
+    # overall (the pretest is conservative either way; rounds run the
+    # exact per-sphere test).  When set, the sieveT input slot carries
+    # the [Cp, 8] cluster AABB table (mn xyz | mx xyz) instead of the
+    # split-exact bounding-sphere rows.
+    use_box: bool = False
     # Direct world-space sphere normals: in world-sphere mode every
     # instance transform is rigid + uniform scale, so the surface normal
     # is (hit - c_world) * inv_r_world (sign of r preserved for bubble
@@ -845,36 +857,70 @@ def _sweep_sieve(cfg: MegaConfig, sieveT_ref, w_ref, clu_ref, o: V3, d: V3,
     if "nosieve" in tags:      # perf triage: body + prefix only
         return bt, bid
 
-    rhs = _ray_rhs(o, d)
-    out = jax.lax.dot_general(
-        sieveT_ref[:], rhs, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32)                # [Cp, 2048]
-    if "sieve-mm" in tags:     # perf triage: rhs build + matmul only
-        return jnp.minimum(bt, _unflat_row(out[0:1, :CELL]) + BIGF), bid
-    cd = out[:, :CELL]
-    co2 = out[:, CELL:]
-    h = _flat_row(ddo) - cd                                # [Cp, 1024]
-    c2 = _flat_row(osq) - 2.0 * co2
-    a_f = _flat_row(a)
-    inv_a_f = _flat_row(inv_a)
-    hh = h * h
-    ac2 = a_f * c2
-    disc = hh - ac2
-    margin = 1e-4 * (hh + jnp.abs(ac2)) + 1e-8
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t1 = (-h - sq) * inv_a_f
-    t2 = (-h + sq) * inv_a_f
     active_f = _flat_row(active.astype(jnp.float32))
     n_words = -(-C // 32)
     izero = (nzero).astype(jnp.int32)
 
-    def sel_of(bt_cur):
-        # bt only enters through this compare: a re-cull against an
-        # improved bt reuses the quadratic terms above.
-        bt_f = _flat_row(bt_cur)
-        return ((disc >= -margin) & (t2 > T_MIN)
-                & (t1 < bt_f * 1.0001 + 1e-4))
+    if cfg.use_box:
+        # AABB slab pretest (cfg.use_box): sieveT_ref is the [Cp, 8]
+        # cluster AABB table (mn xyz | mx xyz, rows >= C inverted).
+        # Conservative in f32: boxes are pre-inflated (cluster_aabbs
+        # pad) beyond slab rounding; the eps clamp keeps 0 * inf NaNs
+        # out of degenerate-direction lanes (ivd <= 1e30, and a
+        # lo == o face gives 0, not NaN).  Entry/exit bounds are
+        # conservative vs any contained sphere's t, so the t-prune
+        # terms mirror the bounding-sphere test's margins.
+        eps = jnp.float32(1e-30)
+
+        def ivc(dx):
+            return 1.0 / jnp.where(jnp.abs(dx) < eps,
+                                   jnp.where(dx < 0, -eps, eps), dx)
+
+        te = None
+        tx = None
+        for ax, (oA, dA) in enumerate(((o.x, d.x), (o.y, d.y), (o.z, d.z))):
+            oA_f = _flat_row(oA)
+            ivA = ivc(_flat_row(dA))
+            a0 = (sieveT_ref[:, ax:ax + 1] - oA_f) * ivA   # [Cp, 1024]
+            a1 = (sieveT_ref[:, 3 + ax:4 + ax] - oA_f) * ivA
+            tn = jnp.minimum(a0, a1)
+            tf = jnp.maximum(a0, a1)
+            te = tn if te is None else jnp.maximum(te, tn)
+            tx = tf if tx is None else jnp.minimum(tx, tf)
+        t1 = te                                            # bands pivot basis
+
+        def sel_of(bt_cur):
+            bt_f = _flat_row(bt_cur)
+            return ((te <= tx) & (tx > T_MIN)
+                    & (te < bt_f * 1.0001 + 1e-4))
+    else:
+        rhs = _ray_rhs(o, d)
+        out = jax.lax.dot_general(
+            sieveT_ref[:], rhs, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)            # [Cp, 2048]
+        if "sieve-mm" in tags:     # perf triage: rhs build + matmul only
+            return jnp.minimum(bt, _unflat_row(out[0:1, :CELL]) + BIGF), bid
+        cd = out[:, :CELL]
+        co2 = out[:, CELL:]
+        h = _flat_row(ddo) - cd                            # [Cp, 1024]
+        c2 = _flat_row(osq) - 2.0 * co2
+        a_f = _flat_row(a)
+        inv_a_f = _flat_row(inv_a)
+        hh = h * h
+        ac2 = a_f * c2
+        disc = hh - ac2
+        margin = 1e-4 * (hh + jnp.abs(ac2)) + 1e-8
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-h - sq) * inv_a_f
+        t2 = (-h + sq) * inv_a_f
+
+        def sel_of(bt_cur):
+            # bt only enters through this compare: a re-cull against an
+            # improved bt reuses the quadratic terms above.
+            bt_f = _flat_row(bt_cur)
+            return ((disc >= -margin) & (t2 > T_MIN)
+                    & (t1 < bt_f * 1.0001 + 1e-4))
 
     def pack(sel):
         # powers-of-two matmul -> 16-bit half-words (exact in f32),
@@ -1715,25 +1761,36 @@ def build_mega_tables(cfg, static, scene, geom):
         if pad > 0:
             fill = jnp.zeros((pad, 8), jnp.float32).at[:, 4].set(BIGF)
             grid = jnp.concatenate([grid, fill], axis=0)
-        g = grid.reshape(C, G, 8)
-        c = g[..., 0:3]
-        r = jnp.abs(g[..., 3:4])
-        valid = g[..., 4:5] < 1e37
-        mn = jnp.min(jnp.where(valid, c - r, BIGF), axis=1)
-        mx = jnp.max(jnp.where(valid, c + r, -BIGF), axis=1)
-        anyv = valid[:, :, 0].any(axis=1)
-        bc = jnp.where(anyv[:, None], 0.5 * (mn + mx), 0.0)   # [C, 3]
-        dist = jnp.linalg.norm(c - bc[:, None, :], axis=-1)
-        br = jnp.max(jnp.where(valid[:, :, 0], dist + r[:, :, 0], 0.0),
-                     axis=1)
-        br = br * 1.0001 + 1e-5                               # conservative
-        kc = jnp.where(anyv, jnp.sum(bc * bc, axis=1) - br * br, BIGF)
-        g4 = jnp.concatenate([bc.T, kc[None, :]], axis=0)     # [4, C]
-        if Cp > C:
-            g4 = jnp.pad(g4, ((0, 0), (0, Cp - C)),
-                         constant_values=0.0)
-            g4 = g4.at[3, C:].set(BIGF)
-        sieveT = split72(g4)                                  # [72, Cp]
+        if cfg.use_box:
+            # [Cp, 8] cluster AABB table for the slab pretest (rides the
+            # sieveT input slot; see MegaConfig.use_box).  Rows >= C get
+            # inverted boxes (te > tx for every ray).
+            aabb = cluster_aabbs(grid, C, G)                  # [C, 8]
+            if Cp > C:
+                fill = jnp.zeros((Cp - C, 8), jnp.float32)
+                fill = fill.at[:, 0:3].set(BIGF).at[:, 3:6].set(-BIGF)
+                aabb = jnp.concatenate([aabb, fill], axis=0)
+            sieveT = aabb
+        else:
+            g = grid.reshape(C, G, 8)
+            c = g[..., 0:3]
+            r = jnp.abs(g[..., 3:4])
+            valid = g[..., 4:5] < 1e37
+            mn = jnp.min(jnp.where(valid, c - r, BIGF), axis=1)
+            mx = jnp.max(jnp.where(valid, c + r, -BIGF), axis=1)
+            anyv = valid[:, :, 0].any(axis=1)
+            bc = jnp.where(anyv[:, None], 0.5 * (mn + mx), 0.0)  # [C, 3]
+            dist = jnp.linalg.norm(c - bc[:, None, :], axis=-1)
+            br = jnp.max(jnp.where(valid[:, :, 0], dist + r[:, :, 0], 0.0),
+                         axis=1)
+            br = br * 1.0001 + 1e-5                           # conservative
+            kc = jnp.where(anyv, jnp.sum(bc * bc, axis=1) - br * br, BIGF)
+            g4 = jnp.concatenate([bc.T, kc[None, :]], axis=0)  # [4, C]
+            if Cp > C:
+                g4 = jnp.pad(g4, ((0, 0), (0, Cp - C)),
+                             constant_values=0.0)
+                g4 = g4.at[3, C:].set(BIGF)
+            sieveT = split72(g4)                              # [72, Cp]
         # Mask-reduction weights: rows (2w, 2w+1) hold the low/high
         # 16-bit powers of two for word w (values <= 2^15, exact in
         # bf16 and in f32 accumulation); rows padded to a multiple of 8.
@@ -1886,6 +1943,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     use_bands = opts.bands if opts.bands is not None else False
     bal = opts.balance
     balance = ("idle" if bal is True else bal) if bal else ""
+    use_box = opts.box if opts.box is not None else False
     if balance == "pair":
         # pair mode owns the candidate ordering: bands/cull reshuffle or
         # shrink masks mid-sweep, which the rank-parity split predates.
@@ -1932,6 +1990,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         cull_every=cull_every if use_gather else 0,
         use_bands=use_bands and use_gather,
         use_balance=balance if use_gather else "",
+        use_box=use_box and (use_gather or use_sieve),
         direct_normals=bool(static.sphere_world_mode) and not item_mode,
         ablate=opts.ablate,
     )

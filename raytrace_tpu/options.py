@@ -77,6 +77,12 @@ class KernelOptions:
     #: both lanes sweep ceil((cA+cB)/2) rounds.  Both bit-exact vs the
     #: dense sweep.  None = measured default; False = off.
     balance: Optional[object] = None
+    #: gather/sieve sweeps: AABB slab pretest instead of the cluster
+    #: bounding-sphere quadratic.  Morton runs make long thin clusters
+    #: whose bounding spheres are loose — the box test passes ~2.5-3x
+    #: fewer candidates (tools_dev/balance_sim.py) for ~2x the pretest
+    #: passes.  None = measured default.
+    box: Optional[bool] = None
 
     def __post_init__(self):
         if self.sweep not in SWEEPS:
@@ -112,6 +118,8 @@ class KernelOptions:
         if "MEGA_BALANCE" in env:
             v = env["MEGA_BALANCE"]
             kw["balance"] = (v in ("idle", "pair") and v) or v == "1"
+        if "MEGA_BOX" in env:
+            kw["box"] = env["MEGA_BOX"] == "1"
         if env.get("MEGA_SEL", "") == "1":
             kw["sweep"] = "selective"
         elif env.get("MEGA_SIEVE", "") == "1":

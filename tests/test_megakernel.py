@@ -206,6 +206,30 @@ def test_gather_pairsplit_bitwise_vs_dense():
     np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
 
 
+def test_gather_box_pretest_bitwise_vs_dense():
+    """The AABB slab pretest must stay bit-identical to the dense scalar
+    sweep (conservative pretest; rounds run the exact per-sphere test) —
+    alone and combined with the pairwise split."""
+    from raytrace_tpu.options import KernelOptions
+
+    cs, scene, static, cam, geom, use_dof = _setup(
+        "final-one-weekend.json", width=48, height=27, depth=5)
+    st_dense = dataclasses.replace(
+        static, kernel_options=KernelOptions(sweep="scalar"))
+    base, rays0, _, _ = render_tile_mega(
+        st_dense, scene, geom, cam, jnp.int32(0), jnp.int32(0),
+        static.height, use_dof, interpret=True)
+    for kw in (dict(box=True), dict(box=True, balance="pair")):
+        st = dataclasses.replace(
+            static, kernel_options=KernelOptions(
+                sweep="gather", rounds_unroll=4, **kw))
+        got, rays1, _, _ = render_tile_mega(
+            st, scene, geom, cam, jnp.int32(0), jnp.int32(0),
+            static.height, use_dof, interpret=True)
+        assert float(rays0) == float(rays1), kw
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
 @pytest.mark.slow
 def test_gather_cull_bands_bitwise_vs_dense():
     """Gather rounds with re-pretest culling + near-first bands must stay

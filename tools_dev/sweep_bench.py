@@ -18,10 +18,11 @@ import numpy as np
 
 
 def _env(gather="1", mxu="0", ablate="", g="8", cull="0", bands="0",
-         unroll=None, balance="0"):
+         unroll=None, balance="0", box="0"):
     env = {"MEGA_GATHER": gather, "MEGA_MXU": mxu, "MEGA_SIEVE": "0",
            "MEGA_SEL": "0", "MEGA_ABLATE": ablate, "MEGA_G": g,
-           "MEGA_CULL": cull, "MEGA_BANDS": bands, "MEGA_BALANCE": balance}
+           "MEGA_CULL": cull, "MEGA_BANDS": bands, "MEGA_BALANCE": balance,
+           "MEGA_BOX": box}
     if unroll is not None:
         env["MEGA_UNROLL"] = str(unroll)
     return env
@@ -79,6 +80,17 @@ ENV_FOR_MODE = {
     "pair-un10": _env(g="4", balance="pair", unroll=10),
     "pair-un12": _env(g="4", balance="pair", unroll=12),
     "pair-norounds": _env(g="4", balance="pair", ablate="norounds"),
+    # round-3 AABB slab pretest
+    "box": _env(g="4", box="1"),
+    "box-un8": _env(g="4", box="1", unroll=8),
+    "box-un10": _env(g="4", box="1", unroll=10),
+    "box-pair": _env(g="4", box="1", balance="pair"),
+    "box-pair-un6": _env(g="4", box="1", balance="pair", unroll=6),
+    "box-pair-un8": _env(g="4", box="1", balance="pair", unroll=8),
+    "box-pair-un10": _env(g="4", box="1", balance="pair", unroll=10),
+    "box-norounds": _env(g="4", box="1", ablate="norounds"),
+    "box-g8": _env(g="8", box="1"),
+    "box-g8-pair": _env(g="8", box="1", balance="pair"),
     # round-3 body decomposition (stage stubs)
     "body-norows": _env(g="4", ablate="nosieve,nopref,norows"),
     "body-noshade": _env(g="4", ablate="nosieve,nopref,noshade"),
@@ -131,7 +143,8 @@ def main():
                + pix_base).reshape(n_cells * 8, 128)
 
     for mode in modes:
-        for k in ("MEGA_UNROLL", "MEGA_CULL", "MEGA_BANDS", "MEGA_BALANCE"):
+        for k in ("MEGA_UNROLL", "MEGA_CULL", "MEGA_BANDS", "MEGA_BALANCE",
+                  "MEGA_BOX"):
             os.environ.pop(k, None)
         os.environ.update(ENV_FOR_MODE[mode])
         cfg = mk.make_config(static, scene, use_dof)
