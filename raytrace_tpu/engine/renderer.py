@@ -203,7 +203,21 @@ def _snake_perm(traced_pix, q: int, n_lanes: int):
     rows = [strata[s] if s % 2 == 0 else strata[s][::-1] for s in range(q)]
     strata = jnp.stack(rows)                          # [q, n_lanes]
     n_cells = n_lanes // 1024
-    return strata.reshape(q, n_cells, 1024).transpose(1, 0, 2).reshape(-1)
+    sc = strata.reshape(q, n_cells, 1024)
+    # Anti-pair within-cell remap: a cell's 1024 slots hold a contiguous
+    # run of global cost ranks, and slot p pairs with slot p+64 (same
+    # sublane) in the kernel's balance="pair" candidate split — so give
+    # positions (g, l) and (g, l+64) within-cell ranks k and 1023-k.
+    # Pair cost SUMS then approach 2x the cell mean instead of 2x the
+    # heavy member, which is what ceil((cA+cB)/2) rounds actually pay.
+    # A pure permutation per cell: lane totals / stratum equalization
+    # are untouched, and the image is assignment-invariant (per-pixel
+    # RNG streams), so goldens/parity are unchanged.
+    p = jnp.arange(1024)
+    g, l = p // 128, p % 128
+    idx = jnp.where(l < 64, g * 64 + l, 1023 - (g * 64 + (l - 64)))
+    sc = sc[:, :, idx]
+    return sc.transpose(1, 0, 2).reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))

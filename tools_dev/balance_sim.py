@@ -186,6 +186,8 @@ def main():
                 f" box {cnt_box.mean():5.2f} and {cnt_and.mean():5.2f}"
                 f" | box-none {xb.max(1).mean():5.1f}"
                 f" box-pair {(-(-(bi + bj) // 2)).max(1).mean():5.1f}"
+                f" box-quad "
+                f"{(-(-xb.reshape(-1, 256, 4).sum(2) // 4)).max(1).mean():5.1f}"
                 f" box-ideal {float((-(-xb.sum(1) // 1024)).mean()):4.1f}")
         for kname in agg:
             mu = float(rounds[kname].mean())
