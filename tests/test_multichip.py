@@ -158,6 +158,29 @@ def test_sharded_megakernel_matches_single_chip(mega_scene):
     np.testing.assert_allclose(img, ref, atol=2e-5)
 
 
+def test_sharded_megakernel_box_pair_matches_single_chip():
+    """Round-3 kernel strategies (AABB pretest + pairwise split) under
+    shard_map: the gather sweep needs the Morton cluster layout, so this
+    runs final-one-weekend small."""
+    from raytrace_tpu.options import KernelOptions
+
+    sf = SceneFile.load_json(reference_asset("final-one-weekend.json"))
+    sf.render.samples_per_pixel = 4
+    sf.render.sample_batches = 1
+    sf.render.max_ray_depth = 4
+    cs = compile_scene(sf, width=32, height=18)
+    opts = KernelOptions(sweep="gather", box=True, balance="pair",
+                         rounds_unroll=2)
+    single = Renderer(cs, use_pallas_sweep=True, kernel_options=opts)
+    assert single.static.use_megakernel
+    ref = single.render_all()
+
+    multi = MultiChipRenderer(cs, mesh=make_mesh(sp=2),
+                              use_pallas_sweep=True, kernel_options=opts)
+    assert multi.static.use_megakernel
+    np.testing.assert_allclose(multi.render_all(), ref, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_sharded_megakernel_chunk_equals_stepping(mega_scene):
     mesh = make_mesh(sp=2)
