@@ -614,6 +614,21 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
         out = jax.lax.fori_loop(0, n_rounds, rbody,
                                 tuple([bt, bid] + masks))
         return merge(out[0], out[1])
+    blk = [t for t in tags if t.startswith("blockfori")]
+    if blk:
+        # Blocked counted trip (see _cluster_rounds_pair): k straight-
+        # line rounds per fori iteration, trip ceil(max/k).
+        k = int(blk[0].split(":")[1]) if ":" in blk[0] else 4
+
+        def blkbody(i, c):
+            for j in range(k):
+                c = rbody(i * k + j, c)
+            return c
+
+        trip = (jnp.max(cnt) + (k - 1)) // k
+        out = jax.lax.fori_loop(0, trip, blkbody,
+                                tuple([bt, bid] + masks))
+        return merge(out[0], out[1])
     n_un = cfg.rounds_unroll
     if unroll:                 # perf triage: override the unroll depth
         n_un = int(unroll[0].split(":")[1]) if ":" in unroll[0] else 12
@@ -785,6 +800,20 @@ def _cluster_rounds_pair(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
     if fix:                    # perf triage: static trip count
         n_rounds = int(fix[0].split(":")[1]) if ":" in fix[0] else 8
         return merge(jax.lax.fori_loop(0, n_rounds, rbody, carry))
+    blk = [t for t in tags if t.startswith("blockfori")]
+    if blk:
+        # Blocked counted trip: k straight-line rounds per fori iteration
+        # (unroll-grade scheduling) with trip ceil(max/k) (no fixed-
+        # unroll rounds wasted on cells whose max is below the unroll).
+        k = int(blk[0].split(":")[1]) if ":" in blk[0] else 4
+
+        def blkbody(i, c):
+            for j in range(k):
+                c = rbody(i * k + j, c)
+            return c
+
+        trip = (jnp.max(cnt) + (k - 1)) // k
+        return merge(jax.lax.fori_loop(0, trip, blkbody, carry))
     n_un = cfg.rounds_unroll
     unroll = [t for t in tags if t.startswith("unroll")]
     if unroll:                 # perf triage: override the unroll depth

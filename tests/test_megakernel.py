@@ -219,7 +219,9 @@ def test_gather_box_pretest_bitwise_vs_dense():
     base, rays0, _, _ = render_tile_mega(
         st_dense, scene, geom, cam, jnp.int32(0), jnp.int32(0),
         static.height, use_dof, interpret=True)
-    for kw in (dict(box=True), dict(box=True, balance="pair")):
+    for kw in (dict(box=True), dict(box=True, balance="pair"),
+               dict(box=True, ablate="blockfori:3"),
+               dict(box=True, balance="pair", ablate="blockfori:3")):
         st = dataclasses.replace(
             static, kernel_options=KernelOptions(
                 sweep="gather", rounds_unroll=4, **kw))

@@ -89,6 +89,15 @@ ENV_FOR_MODE = {
     "box-pair-un8": _env(g="4", box="1", balance="pair", unroll=8),
     "box-pair-un10": _env(g="4", box="1", balance="pair", unroll=10),
     "box-norounds": _env(g="4", box="1", ablate="norounds"),
+    "box-bf3": _env(g="4", box="1", ablate="blockfori:3", unroll=0),
+    "box-bf4": _env(g="4", box="1", ablate="blockfori:4", unroll=0),
+    "box-pair-bf3": _env(g="4", box="1", balance="pair",
+                         ablate="blockfori:3", unroll=0),
+    "box-pair-bf4": _env(g="4", box="1", balance="pair",
+                         ablate="blockfori:4", unroll=0),
+    "box-pair-bf6": _env(g="4", box="1", balance="pair",
+                         ablate="blockfori:6", unroll=0),
+    "pair-bf4": _env(g="4", balance="pair", ablate="blockfori:4", unroll=0),
     "box-g8": _env(g="8", box="1"),
     "box-g8-pair": _env(g="8", box="1", balance="pair"),
     # round-3 body decomposition (stage stubs)
