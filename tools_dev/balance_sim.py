@@ -11,8 +11,18 @@ grouped rays (the snake cost permutation mixes strata, ~random):
   idle   — +64 pairing, adopt only when own count == 0, partner >= 4
            (KernelOptions balance="idle")
   pair   — ceil((c_i + c_j) / 2) per pair (balance="pair")
-  quad   — ceil(sum_4 / 4) per 4-lane group (hypothetical 2-level split)
+  quad   — ceil(sum_4 / 4) per 4-lane group (hypothetical 4-way split)
   ideal  — ceil(sum_1024 / 1024)           (perfect redistribution)
+
+anti-* columns pair SORTED counts k with 1023-k (resp. quad ranks
+k, 511-k, 512+k, 1023-k) — the best case for the snake layout's
+anti-pair within-cell remap, which pairs by historical cost rank.
+
+Measured conclusion (40k rays, box pretest): rand-pair 10.1 rounds,
+anti-pair 8.1, anti-quad 5.8, ideal 3.2.  A 4-way in-kernel split was
+REJECTED on this: quad doubles the packed mask words the round loop
+scans (16 vs 8 at Cp=128) and turns every ray/accumulator select into a
+4-way chain, ~+50% round cost against the -28% round count — net loss.
 
 Usage: python tools_dev/balance_sim.py [n_pixels_sample]
 """
@@ -125,7 +135,8 @@ def main():
 
     # ---- sieve pretest counts + balancing sims per level
     tot_w = 0.0
-    agg = dict(none=0.0, idle=0.0, pair=0.0, quad=0.0, ideal=0.0)
+    agg = dict(none=0.0, idle=0.0, pair=0.0, quad=0.0, anti_pair=0.0,
+               anti_quad=0.0, ideal=0.0)
     for lvl, (o, d) in enumerate(levels):
         m = len(o)
         a = (d * d).sum(-1)
@@ -166,6 +177,10 @@ def main():
         if k == 0:
             continue
         x = rng.permutation(cnt)[:k].reshape(-1, 1024).astype(np.int64)
+        xs = np.sort(x, axis=1)  # perfect cost-rank correlation proxy
+        anti_pair = (-(-(xs[:, :512] + xs[:, 512:][:, ::-1]) // 2)).max(1)
+        anti_quad = (-(-(xs[:, :256] + xs[:, 256:512][:, ::-1]
+                         + xs[:, 512:768] + xs[:, 768:][:, ::-1]) // 4)).max(1)
         rounds = {}
         rounds["none"] = x.max(1)
         ci, cj = x[:, :512], x[:, 512:]
@@ -177,6 +192,8 @@ def main():
         rounds["pair"] = (-(-(ci + cj) // 2)).max(1)
         q = x.reshape(-1, 256, 4).sum(2)
         rounds["quad"] = (-(-q // 4)).max(1)
+        rounds["anti_pair"] = anti_pair
+        rounds["anti_quad"] = anti_quad
         rounds["ideal"] = -(-x.sum(1) // 1024)
         w = float(m)
         tot_w += w
