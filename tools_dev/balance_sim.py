@@ -24,7 +24,9 @@ REJECTED on this: quad doubles the packed mask words the round loop
 scans (16 vs 8 at Cp=128) and turns every ray/accumulator select into a
 4-way chain, ~+50% round cost against the -28% round count — net loss.
 
-Usage: python tools_dev/balance_sim.py [n_pixels_sample]
+Usage: python tools_dev/balance_sim.py [n_pixels_sample] [scene.json]
+(scene defaults to final-one-weekend; pass /tmp/stress-4x.json from
+gen_stress.py for the S=1940 scaling prediction)
 """
 
 import os
@@ -43,7 +45,9 @@ from raytrace_tpu.scene_file import SceneFile
 def main():
     n_sample = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
     G = int(os.environ.get("SIM_G", 4))
-    sf = SceneFile.load_json("/root/reference/assets/final-one-weekend.json")
+    scene = (sys.argv[2] if len(sys.argv) > 2
+             else "/root/reference/assets/final-one-weekend.json")
+    sf = SceneFile.load_json(scene)
     cs = compile_scene(sf, width=1200, height=675)
     n = cs.num_spheres
     prefix = cs.sph_prefix
