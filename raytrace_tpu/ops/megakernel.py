@@ -629,6 +629,32 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
         out = jax.lax.fori_loop(0, trip, blkbody,
                                 tuple([bt, bid] + masks))
         return merge(out[0], out[1])
+    bw = [t for t in tags if t.startswith("blockwhile")]
+    if bw:
+        # Blocked while trip (blockwhile:k): k straight-line rounds per
+        # iteration with ONE cross-lane any-pending check (the ~0.5us
+        # while-cond cost measured in round 2, amortized over k), plus
+        # the re-pretest cull at every block end when enabled —
+        # blockfori's unroll-grade scheduling WITHOUT forfeiting
+        # culling, and unlike blockfori's static ceil(max/k) trip the
+        # loop exits as soon as the cull empties the surviving masks.
+        k = int(bw[0].split(":")[1]) if ":" in bw[0] else 4
+
+        def wcond(c):
+            acc = c[2]
+            for m in c[3:]:
+                acc = acc | m
+            return jnp.any(acc != 0)
+
+        def wbody(c):
+            for j in range(k):
+                c = rbody(j, c)
+            if remask is not None:
+                c = cull(c)
+            return c
+
+        out = jax.lax.while_loop(wcond, wbody, tuple([bt, bid] + masks))
+        return merge(out[0], out[1])
     n_un = cfg.rounds_unroll
     if unroll:                 # perf triage: override the unroll depth
         n_un = int(unroll[0].split(":")[1]) if ":" in unroll[0] else 12
@@ -658,7 +684,7 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
 
 def _cluster_rounds_pair(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
                          inv_a, ddo, osq, bt, bid, masks_even, masks_odd,
-                         izero):
+                         izero, remask=None):
     """Gather rounds with PAIRWISE candidate splitting (use_balance="pair").
 
     Each lane pair (l, l+64) splits the pair's combined candidate list
@@ -814,6 +840,44 @@ def _cluster_rounds_pair(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
 
         trip = (jnp.max(cnt) + (k - 1)) // k
         return merge(jax.lax.fori_loop(0, trip, blkbody, carry))
+    bw = [t for t in tags if t.startswith("blockwhile")]
+    if bw:
+        # Blocked while trip with PAIR culling (see _cluster_rounds_gather
+        # blockwhile): k rounds per iteration, one cross-lane any-pending
+        # check, re-pretest cull per block.
+        k = int(bw[0].split(":")[1]) if ":" in bw[0] else 4
+
+        def cull_pair(c):
+            # Upper bound of MY ray's final t: my own-stream accumulator
+            # joined with the partner's adopted-stream accumulator FOR MY
+            # ray (its bt_a, rolled to me).  remask's *1.0001 + 1e-4
+            # margin only culls entries strictly beyond the bound, so
+            # (t, id) lexicographic ties are untouched — the same
+            # argument as the gather cull.  Kept masks are MY candidates
+            # against MY ray -> AND with my fresh words; adopted masks
+            # are PARTNER candidates against the partner's ray -> AND
+            # with the partner's fresh words, rolled into my lane.
+            bt_s, bid_s, bt_a, bid_a = c[:4]
+            fresh = remask(jnp.minimum(bt_s, rl(bt_a)))
+            kws = [m & fresh[w] for w, m in enumerate(c[4:4 + n_words])]
+            aws = [m & rl(fresh[w])
+                   for w, m in enumerate(c[4 + n_words:])]
+            return tuple([bt_s, bid_s, bt_a, bid_a] + kws + aws)
+
+        def wcond(c):
+            acc = c[4]
+            for m in c[5:]:
+                acc = acc | m
+            return jnp.any(acc != 0)
+
+        def wbody(c):
+            for j in range(k):
+                c = rbody(j, c)
+            if remask is not None:
+                c = cull_pair(c)
+            return c
+
+        return merge(jax.lax.while_loop(wcond, wbody, carry))
     n_un = cfg.rounds_unroll
     unroll = [t for t in tags if t.startswith("unroll")]
     if unroll:                 # perf triage: override the unroll depth
@@ -992,7 +1056,7 @@ def _sweep_sieve(cfg: MegaConfig, sieveT_ref, w_ref, clu_ref, o: V3, d: V3,
         masks_odd = pack(sel0 & ~even_r)
         return _cluster_rounds_pair(cfg, clu_ref, o, d, a, inv_a, ddo,
                                     osq, bt, bid, masks_even, masks_odd,
-                                    izero)
+                                    izero, remask=remask)
 
     if cfg.use_bands and cfg.use_gather:
         # Per-lane entry-distance pivot: near candidates (t1 <= pivot)

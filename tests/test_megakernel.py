@@ -221,7 +221,12 @@ def test_gather_box_pretest_bitwise_vs_dense():
         static.height, use_dof, interpret=True)
     for kw in (dict(box=True), dict(box=True, balance="pair"),
                dict(box=True, ablate="blockfori:3"),
-               dict(box=True, balance="pair", ablate="blockfori:3")):
+               dict(box=True, balance="pair", ablate="blockfori:3"),
+               dict(box=True, ablate="blockwhile:3"),
+               dict(box=True, cull_every=1, ablate="blockwhile:2"),
+               dict(box=True, balance="pair", ablate="blockwhile:3"),
+               dict(box=True, balance="pair", cull_every=1,
+                    ablate="blockwhile:2")):
         st = dataclasses.replace(
             static, kernel_options=KernelOptions(
                 sweep="gather", rounds_unroll=4, **kw))

@@ -100,6 +100,22 @@ ENV_FOR_MODE = {
     "pair-bf4": _env(g="4", balance="pair", ablate="blockfori:4", unroll=0),
     "box-g8": _env(g="8", box="1"),
     "box-g8-pair": _env(g="8", box="1", balance="pair"),
+    # round-3 blocked-while rounds (adaptive trip + per-block culling)
+    "box-bw4": _env(g="4", box="1", ablate="blockwhile:4", unroll=0),
+    "box-bw4c": _env(g="4", box="1", cull="1", ablate="blockwhile:4",
+                     unroll=0),
+    "box-bw8c": _env(g="4", box="1", cull="1", ablate="blockwhile:8",
+                     unroll=0),
+    "box-pair-bw4": _env(g="4", box="1", balance="pair",
+                         ablate="blockwhile:4", unroll=0),
+    "box-pair-bw4c": _env(g="4", box="1", balance="pair", cull="1",
+                          ablate="blockwhile:4", unroll=0),
+    "box-pair-bw6c": _env(g="4", box="1", balance="pair", cull="1",
+                          ablate="blockwhile:6", unroll=0),
+    "box-pair-bw3c": _env(g="4", box="1", balance="pair", cull="1",
+                          ablate="blockwhile:3", unroll=0),
+    "pair-bw4c": _env(g="4", balance="pair", cull="1",
+                      ablate="blockwhile:4", unroll=0),
     # round-3 body decomposition (stage stubs)
     "body-norows": _env(g="4", ablate="nosieve,nopref,norows"),
     "body-noshade": _env(g="4", ablate="nosieve,nopref,noshade"),
