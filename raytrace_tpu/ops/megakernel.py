@@ -840,29 +840,29 @@ def _cluster_rounds_pair(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
 
         trip = (jnp.max(cnt) + (k - 1)) // k
         return merge(jax.lax.fori_loop(0, trip, blkbody, carry))
+    def cull_pair(c):
+        # Upper bound of MY ray's final t: my own-stream accumulator
+        # joined with the partner's adopted-stream accumulator FOR MY
+        # ray (its bt_a, rolled to me).  remask's *1.0001 + 1e-4
+        # margin only culls entries strictly beyond the bound, so
+        # (t, id) lexicographic ties are untouched — the same
+        # argument as the gather cull.  Kept masks are MY candidates
+        # against MY ray -> AND with my fresh words; adopted masks
+        # are PARTNER candidates against the partner's ray -> AND
+        # with the partner's fresh words, rolled into my lane.
+        bt_s, bid_s, bt_a, bid_a = c[:4]
+        fresh = remask(jnp.minimum(bt_s, rl(bt_a)))
+        kws = [m & fresh[w] for w, m in enumerate(c[4:4 + n_words])]
+        aws = [m & rl(fresh[w])
+               for w, m in enumerate(c[4 + n_words:])]
+        return tuple([bt_s, bid_s, bt_a, bid_a] + kws + aws)
+
     bw = [t for t in tags if t.startswith("blockwhile")]
     if bw:
         # Blocked while trip with PAIR culling (see _cluster_rounds_gather
         # blockwhile): k rounds per iteration, one cross-lane any-pending
         # check, re-pretest cull per block.
         k = int(bw[0].split(":")[1]) if ":" in bw[0] else 4
-
-        def cull_pair(c):
-            # Upper bound of MY ray's final t: my own-stream accumulator
-            # joined with the partner's adopted-stream accumulator FOR MY
-            # ray (its bt_a, rolled to me).  remask's *1.0001 + 1e-4
-            # margin only culls entries strictly beyond the bound, so
-            # (t, id) lexicographic ties are untouched — the same
-            # argument as the gather cull.  Kept masks are MY candidates
-            # against MY ray -> AND with my fresh words; adopted masks
-            # are PARTNER candidates against the partner's ray -> AND
-            # with the partner's fresh words, rolled into my lane.
-            bt_s, bid_s, bt_a, bid_a = c[:4]
-            fresh = remask(jnp.minimum(bt_s, rl(bt_a)))
-            kws = [m & fresh[w] for w, m in enumerate(c[4:4 + n_words])]
-            aws = [m & rl(fresh[w])
-                   for w, m in enumerate(c[4 + n_words:])]
-            return tuple([bt_s, bid_s, bt_a, bid_a] + kws + aws)
 
         def wcond(c):
             acc = c[4]
@@ -883,9 +883,21 @@ def _cluster_rounds_pair(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
     if unroll:                 # perf triage: override the unroll depth
         n_un = int(unroll[0].split(":")[1]) if ":" in unroll[0] else 12
     if n_un:
+        ce = cfg.cull_every if remask is not None else 0
         for r in range(n_un):
             carry = rbody(r, carry)
-        residual = jnp.maximum(jnp.max(cnt) - n_un, 0)
+            if ce and (r + 1) % ce == 0 and r + 1 < n_un:
+                carry = cull_pair(carry)
+        if remask is not None:
+            # final cull; exact residual from the SURVIVING masks (see
+            # _cluster_rounds_gather).
+            carry = cull_pair(carry)
+            rcnt = izero
+            for m in carry[4:]:
+                rcnt = rcnt + jax.lax.population_count(m)
+            residual = jnp.max(rcnt)
+        else:
+            residual = jnp.maximum(jnp.max(cnt) - n_un, 0)
         return merge(jax.lax.fori_loop(0, residual, rbody, carry))
     return merge(jax.lax.fori_loop(0, jnp.max(cnt), rbody, carry))
 

@@ -226,7 +226,8 @@ def test_gather_box_pretest_bitwise_vs_dense():
                dict(box=True, cull_every=1, ablate="blockwhile:2"),
                dict(box=True, balance="pair", ablate="blockwhile:3"),
                dict(box=True, balance="pair", cull_every=1,
-                    ablate="blockwhile:2")):
+                    ablate="blockwhile:2"),
+               dict(box=True, balance="pair", cull_every=2)):
         st = dataclasses.replace(
             static, kernel_options=KernelOptions(
                 sweep="gather", rounds_unroll=4, **kw))

@@ -116,6 +116,10 @@ ENV_FOR_MODE = {
                           ablate="blockwhile:3", unroll=0),
     "pair-bw4c": _env(g="4", balance="pair", cull="1",
                       ablate="blockwhile:4", unroll=0),
+    "box-pair-cull2-un8": _env(g="4", box="1", balance="pair", cull="2",
+                               unroll=8),
+    "box-pair-cull4-un8": _env(g="4", box="1", balance="pair", cull="4",
+                               unroll=8),
     # round-3 body decomposition (stage stubs)
     "body-norows": _env(g="4", ablate="nosieve,nopref,norows"),
     "body-noshade": _env(g="4", ablate="nosieve,nopref,noshade"),
