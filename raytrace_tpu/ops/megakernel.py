@@ -2050,11 +2050,14 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     balance = ("idle" if bal is True else bal) if bal else ""
     use_box = opts.box if opts.box is not None else False
     if balance == "pair":
-        # pair mode owns the candidate ordering: bands/cull reshuffle or
-        # shrink masks mid-sweep, which the rank-parity split predates.
+        # pair mode owns the candidate ordering: bands reshuffle masks
+        # mid-sweep, which the rank-parity split predates.  Culling IS
+        # supported (cull_pair ANDs fresh words into keep/adopt masks).
         use_bands = False
-        cull_every = 0
-    if rounds_unroll == 0:
+    if rounds_unroll == 0 and not any(
+            t.startswith("blockwhile") for t in opts.ablate.split(",")):
+        # cull points exist only between unrolled rounds or at blockwhile
+        # block ends; plain fori trips have neither.
         cull_every = 0
     flags = static.flags
     item_mode = bool(flags.has_image)
