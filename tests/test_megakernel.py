@@ -221,8 +221,32 @@ def test_gather_box_pretest_bitwise_vs_dense():
         static.height, use_dof, interpret=True)
     for kw in (dict(box=True), dict(box=True, balance="pair"),
                dict(box=True, ablate="blockfori:3"),
-               dict(box=True, balance="pair", ablate="blockfori:3"),
-               dict(box=True, ablate="blockwhile:3"),
+               dict(box=True, balance="pair", ablate="blockfori:3")):
+        st = dataclasses.replace(
+            static, kernel_options=KernelOptions(
+                sweep="gather", rounds_unroll=4, **kw))
+        got, rays1, _, _ = render_tile_mega(
+            st, scene, geom, cam, jnp.int32(0), jnp.int32(0),
+            static.height, use_dof, interpret=True)
+        assert float(rays0) == float(rays1), kw
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
+@pytest.mark.slow
+def test_gather_blockwhile_cull_bitwise_vs_dense():
+    """blockwhile:k blocked-while rounds (with and without per-block
+    re-pretest culling, gather and pair) and the pair unroll+cull path
+    must stay bit-identical to the dense scalar sweep."""
+    from raytrace_tpu.options import KernelOptions
+
+    cs, scene, static, cam, geom, use_dof = _setup(
+        "final-one-weekend.json", width=48, height=27, depth=5)
+    st_dense = dataclasses.replace(
+        static, kernel_options=KernelOptions(sweep="scalar"))
+    base, rays0, _, _ = render_tile_mega(
+        st_dense, scene, geom, cam, jnp.int32(0), jnp.int32(0),
+        static.height, use_dof, interpret=True)
+    for kw in (dict(box=True, ablate="blockwhile:3"),
                dict(box=True, cull_every=1, ablate="blockwhile:2"),
                dict(box=True, balance="pair", ablate="blockwhile:3"),
                dict(box=True, balance="pair", cull_every=1,
