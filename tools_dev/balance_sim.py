@@ -27,6 +27,15 @@ scans (16 vs 8 at Cp=128) and turns every ray/accumulator select into a
 Usage: python tools_dev/balance_sim.py [n_pixels_sample] [scene.json]
 (scene defaults to final-one-weekend; pass /tmp/stress-4x.json from
 gen_stress.py for the S=1940 scaling prediction)
+
+Round-3 layout study (pixel-identity-tracking variant of this sim):
+COST-STRATIFIED cells (group similar-predicted-cost pixels per cell so
+max ~= stratum mean) LOSE to anti-pair mixing at every prediction
+quality — oracle predictor 3.69 vs 2.81 expected rounds, bounce-0-count
+predictor 10.2 vs 6.0, random 12.5 vs 7.3.  Pairing exploits the
+complementary tails it is given; stratification concentrates them.  The
+shipped snake + anti-pair layout stands; with hist-quality prediction
+expect ~6 rounds/cell on final-one-weekend (box pretest, G=4).
 """
 
 import os
