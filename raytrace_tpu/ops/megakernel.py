@@ -2025,8 +2025,11 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     # for big scenes so C fits.
     use_gather = n_prefix > 0 and sweep in ("auto", "gather")
     if use_gather:
-        while -(-n_local // G) > 128 and G < 64:
-            G *= 2
+        # same doubling rule as the greedy grouping at compile time, so
+        # clusters are built at the size the sweep actually uses
+        from ..models.sphere_order import effective_cluster_g
+
+        G = effective_cluster_g(n_local, G)
         if -(-n_local // G) > 128:
             use_gather = False
     C = -(-n_local // G) if (use_sel or use_sieve or use_gather) else 0
