@@ -14,7 +14,7 @@ cd "$(dirname "$0")/.."
 
 phase1() {
   echo "=== sweep ablation ($(date)) ==="
-  SB_MODES=default,box,pair,box-pair,box-pair-un8,box-pair-bf3,box-pair-bf4,box-pair-bf6,box-bf4,pair-bf4,box-bw4,box-bw4c,box-bw8c,box-pair-bw3c,box-pair-bw4,box-pair-bw4c,box-pair-bw6c,pair-bw4c,box-pair-cull2-un8,box-pair-cull4-un8,un8,pair-un6,box-norounds,pair-norounds,g4-norounds,g4-nosieve \
+  SB_MODES=default,box,pair,box-pair,box-pair-un8,box-pair-bf3,box-pair-bf4,box-pair-bf6,box-bf4,pair-bf4,box-bw4,box-bw4c,box-bw8c,box-pair-bw3c,box-pair-bw4,box-pair-bw4c,box-pair-bw6c,pair-bw4c,box-pair-cull2-un8,box-pair-cull4-un8,un8,pair-un6,box-norounds,pair-norounds,g4-norounds,g4-nosieve,box-g8,box-g8-pair \
     SB_CELLS=512 timeout 5400 python tools_dev/sweep_bench.py
   echo "=== stress scenes ==="
   python tools_dev/gen_stress.py 2
