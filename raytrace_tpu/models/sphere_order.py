@@ -18,6 +18,8 @@ consistently.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -64,7 +66,16 @@ def sphere_cluster_order(centers, radii, insts, inst_t0, inst_t1,
         return None, 0
 
     local = np.where(~big)[0]
-    order = local[_group_order(c_w[local], effective_cluster_g(len(local)))]
+    # Group at the G the sweep will use.  MEGA_G (the KernelOptions env
+    # override, options.py) is honored here because grouping happens at
+    # compile time: a constructor-level cluster_g override after compile
+    # keeps the default-G grouping (clusters then merge/split greedy
+    # groups — correct, just less tight).
+    g0 = int(os.environ.get("MEGA_G", _GROUP) or _GROUP)
+    if g0 <= 0:
+        g0 = _GROUP
+    order = local[_group_order(c_w[local],
+                               effective_cluster_g(len(local), g0))]
 
     perm = np.concatenate([np.where(big)[0], order]).astype(np.int32)
     return perm, int(big.sum())
@@ -129,9 +140,17 @@ def _group_order(c_w: np.ndarray, group: int = _GROUP) -> np.ndarray:
                 used[j] = True
                 grp.append(j)
         groups.append(grp)
+    # The (at most one) partial group must stay LAST: clusters are
+    # consecutive runs of G in the emitted order, so a short group
+    # anywhere else shifts every later group off its cluster boundary
+    # and re-inflates the AABBs this grouping exists to shrink.
+    partial = [g for g in groups if len(g) < group]
+    groups = [g for g in groups if len(g) == group]
     gc = np.array([c_w[g].mean(axis=0) for g in groups])
     go = np.argsort(_iso_morton_codes(gc), kind="stable")
-    return np.concatenate([np.asarray(groups[gi]) for gi in go])
+    return np.concatenate(
+        [np.asarray(groups[gi]) for gi in go]
+        + [np.asarray(g) for g in partial])
 
 
 def apply_sphere_order(cs) -> None:

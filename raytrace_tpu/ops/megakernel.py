@@ -462,6 +462,37 @@ def _cluster_rounds(cfg: MegaConfig, clu_ref, o: V3, d: V3, a, inv_a,
     return out[0], out[1]
 
 
+def _blocked_while(tags, carry, rbody, merge, mask_off, cull_fn):
+    """blockwhile:k — k straight-line rounds per while-loop iteration
+    with ONE cross-lane any-pending check per block (the ~0.5us
+    while-cond cost measured in round 2, amortized over k), plus an
+    optional re-pretest cull at every block end: blockfori's
+    unroll-grade scheduling WITHOUT forfeiting culling, and unlike
+    blockfori's static ceil(max/k) trip the loop exits as soon as
+    culling empties the surviving masks.  carry[mask_off:] must be the
+    packed mask words.  Returns merge's result, or None when the tag is
+    absent."""
+    bw = [t for t in tags if t.startswith("blockwhile")]
+    if not bw:
+        return None
+    k = int(bw[0].split(":")[1]) if ":" in bw[0] else 4
+
+    def wcond(c):
+        acc = c[mask_off]
+        for m in c[mask_off + 1:]:
+            acc = acc | m
+        return jnp.any(acc != 0)
+
+    def wbody(c):
+        for j in range(k):
+            c = rbody(j, c)
+        if cull_fn is not None:
+            c = cull_fn(c)
+        return c
+
+    return merge(jax.lax.while_loop(wcond, wbody, carry))
+
+
 def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
                            inv_a, ddo, osq, bt, bid, masks, izero,
                            remask=None, n_cwords=None):
@@ -629,32 +660,11 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
         out = jax.lax.fori_loop(0, trip, blkbody,
                                 tuple([bt, bid] + masks))
         return merge(out[0], out[1])
-    bw = [t for t in tags if t.startswith("blockwhile")]
-    if bw:
-        # Blocked while trip (blockwhile:k): k straight-line rounds per
-        # iteration with ONE cross-lane any-pending check (the ~0.5us
-        # while-cond cost measured in round 2, amortized over k), plus
-        # the re-pretest cull at every block end when enabled —
-        # blockfori's unroll-grade scheduling WITHOUT forfeiting
-        # culling, and unlike blockfori's static ceil(max/k) trip the
-        # loop exits as soon as the cull empties the surviving masks.
-        k = int(bw[0].split(":")[1]) if ":" in bw[0] else 4
-
-        def wcond(c):
-            acc = c[2]
-            for m in c[3:]:
-                acc = acc | m
-            return jnp.any(acc != 0)
-
-        def wbody(c):
-            for j in range(k):
-                c = rbody(j, c)
-            if remask is not None:
-                c = cull(c)
-            return c
-
-        out = jax.lax.while_loop(wcond, wbody, tuple([bt, bid] + masks))
-        return merge(out[0], out[1])
+    out_bw = _blocked_while(tags, tuple([bt, bid] + masks), rbody,
+                            lambda o: merge(o[0], o[1]), 2,
+                            cull if remask is not None else None)
+    if out_bw is not None:
+        return out_bw
     n_un = cfg.rounds_unroll
     if unroll:                 # perf triage: override the unroll depth
         n_un = int(unroll[0].split(":")[1]) if ":" in unroll[0] else 12
@@ -857,27 +867,10 @@ def _cluster_rounds_pair(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
                for w, m in enumerate(c[4 + n_words:])]
         return tuple([bt_s, bid_s, bt_a, bid_a] + kws + aws)
 
-    bw = [t for t in tags if t.startswith("blockwhile")]
-    if bw:
-        # Blocked while trip with PAIR culling (see _cluster_rounds_gather
-        # blockwhile): k rounds per iteration, one cross-lane any-pending
-        # check, re-pretest cull per block.
-        k = int(bw[0].split(":")[1]) if ":" in bw[0] else 4
-
-        def wcond(c):
-            acc = c[4]
-            for m in c[5:]:
-                acc = acc | m
-            return jnp.any(acc != 0)
-
-        def wbody(c):
-            for j in range(k):
-                c = rbody(j, c)
-            if remask is not None:
-                c = cull_pair(c)
-            return c
-
-        return merge(jax.lax.while_loop(wcond, wbody, carry))
+    out_bw = _blocked_while(tags, carry, rbody, merge, 4,
+                            cull_pair if remask is not None else None)
+    if out_bw is not None:
+        return out_bw
     n_un = cfg.rounds_unroll
     unroll = [t for t in tags if t.startswith("unroll")]
     if unroll:                 # perf triage: override the unroll depth

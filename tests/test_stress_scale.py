@@ -22,7 +22,7 @@ from raytrace_tpu.options import KernelOptions
 from raytrace_tpu.scene_file import SceneFile
 
 
-def _big_sphere_scene(n_grid: int = 24, path=None, tmp_path=None):
+def _big_sphere_scene(n_grid: int = 24, tmp_path=None):
     """~n_grid^2 small lambertian spheres + ground: n_local big enough
     that effective_cluster_g doubles past the default 4."""
     rng = np.random.default_rng(11)
@@ -61,6 +61,21 @@ def _big_sphere_scene(n_grid: int = 24, path=None, tmp_path=None):
     p = tmp_path / "big_spheres.json"
     p.write_text(json.dumps(doc))
     return SceneFile.load_json(str(p))
+
+
+def test_group_order_partial_group_stays_last():
+    """With n % G != 0 the single short greedy group must be emitted
+    LAST: clusters are consecutive runs of G, so a short group anywhere
+    else shifts every later group off its cluster boundary."""
+    from raytrace_tpu.models.sphere_order import _group_order
+
+    rng = np.random.default_rng(0)
+    pts = rng.random((485, 3)) * 20
+    order = _group_order(pts, 4)
+    assert sorted(order.tolist()) == list(range(485))
+    # all runs of 4 before the tail are full greedy groups; only the
+    # final element is the partial group
+    assert len(order) % 4 == 1
 
 
 def test_effective_cluster_g_rule():
