@@ -2050,8 +2050,14 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         # mid-sweep, which the rank-parity split predates.  Culling IS
         # supported (cull_pair ANDs fresh words into keep/adopt masks).
         use_bands = False
+    # schedule="blockfori:k"/"blockwhile:k" rides the same tag channel
+    # the round loops already parse; "auto" keeps the unroll+residual
+    # structure driven by rounds_unroll.
+    ablate = opts.ablate
+    if opts.schedule != "auto":
+        ablate = ",".join(t for t in (ablate, opts.schedule) if t)
     if rounds_unroll == 0 and not any(
-            t.startswith("blockwhile") for t in opts.ablate.split(",")):
+            t.startswith("blockwhile") for t in ablate.split(",")):
         # cull points exist only between unrolled rounds or at blockwhile
         # block ends; plain fori trips have neither.
         cull_every = 0
@@ -2096,7 +2102,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         use_balance=balance if use_gather else "",
         use_box=use_box and (use_gather or use_sieve),
         direct_normals=bool(static.sphere_world_mode) and not item_mode,
-        ablate=opts.ablate,
+        ablate=ablate,
     )
 
 

@@ -83,8 +83,21 @@ class KernelOptions:
     #: fewer candidates (tools_dev/balance_sim.py) for ~2x the pretest
     #: passes.  None = measured default.
     box: Optional[bool] = None
+    #: candidate-round trip scheduler: "auto" (rounds_unroll straight-line
+    #: rounds + exact dynamic residual), "blockfori:k" (counted trip
+    #: ceil(max/k), k straight-line rounds per fori iteration), or
+    #: "blockwhile:k" (same block shape under a while loop — one
+    #: cross-lane any-pending check per block, per-block re-pretest cull
+    #: when cull_every > 0, exits as soon as the masks drain).
+    schedule: str = "auto"
 
     def __post_init__(self):
+        if self.schedule != "auto" and not (
+                self.schedule.startswith("blockfori")
+                or self.schedule.startswith("blockwhile")):
+            raise ValueError(
+                "schedule must be 'auto', 'blockfori[:k]' or "
+                f"'blockwhile[:k]', got {self.schedule!r}")
         if self.sweep not in SWEEPS:
             raise ValueError(
                 f"sweep must be one of {SWEEPS}, got {self.sweep!r}")
@@ -98,9 +111,9 @@ class KernelOptions:
     def with_env_overrides(self) -> "KernelOptions":
         """Apply MEGA_* env overrides (env wins over constructor values).
 
-        MEGA_Q, MEGA_G, MEGA_UNROLL, MEGA_ABLATE map directly;
-        MEGA_SEL=1 / MEGA_SIEVE=1 / MEGA_GATHER=0 / MEGA_MXU=0 keep
-        their historical meaning as strategy forcers."""
+        MEGA_Q, MEGA_G, MEGA_UNROLL, MEGA_ABLATE, MEGA_SCHED map
+        directly; MEGA_SEL=1 / MEGA_SIEVE=1 / MEGA_GATHER=0 / MEGA_MXU=0
+        keep their historical meaning as strategy forcers."""
         env = os.environ
         kw = {}
         if "MEGA_Q" in env:
@@ -111,6 +124,8 @@ class KernelOptions:
             kw["rounds_unroll"] = int(env["MEGA_UNROLL"])
         if "MEGA_ABLATE" in env:
             kw["ablate"] = env["MEGA_ABLATE"]
+        if "MEGA_SCHED" in env:
+            kw["schedule"] = env["MEGA_SCHED"]
         if "MEGA_CULL" in env:
             kw["cull_every"] = int(env["MEGA_CULL"])
         if "MEGA_BANDS" in env:
