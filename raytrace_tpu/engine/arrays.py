@@ -125,6 +125,13 @@ class SceneStatic:
     # public kernel-strategy knobs (options.KernelOptions, env overrides
     # already folded in); None until a Renderer attaches them
     kernel_options: object = None
+    # scene sharding (parallel/multichip.py "sc" mesh axis): primitive
+    # tables are row-sharded across scene_shards devices; the bounce
+    # loop combines per-shard closest hits with lax.pmin over scene_axis
+    # and fetches the winner's fat row with a one-owner masked psum.
+    # None/1 = replicated scene (every other path).
+    scene_axis: object = None
+    scene_shards: int = 1
 
 
 def upload_scene(cs: CompiledScene, bvh=None, sharding=None):

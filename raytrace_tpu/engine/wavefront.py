@@ -194,26 +194,85 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
             sphere_wins = sph_hit.t < tri_hit.t
             tri = jnp.maximum(tri_hit.tri, 0)
             sid = jnp.maximum(sph_hit.sph, 0)
-            return RawHit(
+            rh = RawHit(
                 missed=missed, t=t_best,
                 prim=jnp.where(sphere_wins, sid, s_pad + tri),
                 is_sphere=sphere_wins,
                 bu=jnp.where(sphere_wins, 0.0, tri_hit.u),
                 bv=jnp.where(sphere_wins, 0.0, tri_hit.v),
             )
-        if use_spheres:
+        elif use_spheres:
             sid = jnp.maximum(sph_hit.sph, 0)
-            return RawHit(
+            rh = RawHit(
                 missed=missed, t=t_best, prim=sid,
                 is_sphere=jnp.ones((R,), bool), bu=zeros, bv=zeros,
             )
-        tri = jnp.maximum(tri_hit.tri, 0)
-        return RawHit(
-            missed=missed, t=t_best, prim=s_pad + tri,
-            is_sphere=jnp.zeros((R,), bool), bu=tri_hit.u, bv=tri_hit.v,
-        )
+        else:
+            tri = jnp.maximum(tri_hit.tri, 0)
+            rh = RawHit(
+                missed=missed, t=t_best, prim=s_pad + tri,
+                is_sphere=jnp.zeros((R,), bool), bu=tri_hit.u, bv=tri_hit.v,
+            )
+        if static.scene_axis is None:
+            return rh
+        return _sc_combine_hit(static, geom, rh, s_pad)
 
     return trace
+
+
+def _sc_combine_hit(static: SceneStatic, geom, rh: RawHit,
+                    s_pad: int) -> RawHit:
+    """Scene-sharded closest-hit combine over the `scene_axis` mesh axis.
+
+    Each shard swept only its slice of the primitive tables; rh carries
+    LOCAL prim ids.  The tie key is family-major to reproduce the
+    replicated sweep's order EXACTLY: at equal t a triangle beats a
+    sphere (trace's strict `sph.t < tri.t`), and within a family the
+    lowest ORIGINAL index wins (both intersectors are argmin-first +
+    strict <; shards hold contiguous slices, so rank-major local order
+    IS original order).  The winner's ray-dependent fields combine with
+    one-owner masked psums (a single nonzero term per lane — exact, not
+    a float reduction)."""
+    ax = static.scene_axis
+    n_sc = static.scene_shards
+    P_loc = geom.prim_rows.shape[0]
+    t_span = P_loc - s_pad
+    rank = jax.lax.axis_index(ax).astype(jnp.int32)
+    fam_key = jnp.where(
+        rh.is_sphere,
+        n_sc * t_span + rank * s_pad + rh.prim,
+        rank * t_span + (rh.prim - s_pad),
+    )
+    tmin = jax.lax.pmin(rh.t, ax)
+    key = jnp.where(rh.t == tmin, fam_key, jnp.int32(2147483647))
+    win = key == jax.lax.pmin(key, ax)
+    sel = lambda x: jax.lax.psum(jnp.where(win, x, 0.0), ax)
+    gid = rank * P_loc + rh.prim
+    return RawHit(
+        missed=tmin >= T_MAX, t=tmin,
+        prim=jax.lax.psum(jnp.where(win, gid, 0), ax),
+        is_sphere=sel(rh.is_sphere.astype(jnp.float32)) > 0.5,
+        bu=sel(rh.bu), bv=sel(rh.bv),
+    )
+
+
+def _sc_decode(static: SceneStatic, geom, prim):
+    """Global prim id -> (local prim id, owner mask) under scene
+    sharding; (prim, None) otherwise."""
+    if static.scene_axis is None:
+        return prim, None
+    P_loc = geom.prim_rows.shape[0]
+    rank = jax.lax.axis_index(static.scene_axis).astype(jnp.int32)
+    return prim % P_loc, (prim // P_loc) == rank
+
+
+def _sc_fetch(static: SceneStatic, mine, rows):
+    """One-owner masked psum of per-prim rows gathered from a shard-local
+    table (exact: a single nonzero term per lane)."""
+    if mine is None:
+        return rows
+    mask = mine.reshape(mine.shape + (1,) * (rows.ndim - 1))
+    return jax.lax.psum(jnp.where(mask, rows, 0.0), static.scene_axis)
 
 
 def _direct_normals(static) -> bool:
@@ -238,13 +297,18 @@ def reconstruct_hit(static: SceneStatic, scene: SceneArrays,
     """
     R = raw.prim.shape[0]
     s_pad = scene.sph_center.shape[0]
+    # Scene sharding: raw.prim is a GLOBAL id; decode to the shard-local
+    # id for table indexing and psum-combine the owner's fetches.
+    lprim, mine = _sc_decode(static, geom, raw.prim)
 
     if static.has_tris:
-        tri = jnp.maximum(raw.prim - s_pad, 0)
+        tri = jnp.maximum(lprim - s_pad, 0)
         packed = static.use_pallas_sweep and static.bvh_mode == "none"
         if packed:
             pos = geom.tri_table16[jnp.clip(tri, 0, geom.tri_table16.shape[0] - 1)]
             att = geom.tri_attr16[jnp.clip(tri, 0, geom.tri_attr16.shape[0] - 1)]
+            pos = _sc_fetch(static, mine, pos)
+            att = _sc_fetch(static, mine, att)
             bu, bv = raw.bu, raw.bv
             tp = V3(
                 pos[:, 0] + bu * pos[:, 3] + bv * pos[:, 6],
@@ -261,9 +325,12 @@ def reconstruct_hit(static: SceneStatic, scene: SceneArrays,
         else:
             w = 1.0 - raw.bu - raw.bv
             bary = jnp.stack([w, raw.bu, raw.bv], axis=-1)
-            tp_r = jnp.einsum("rv,rvi->ri", bary, geom.world_p[tri])
-            tn_r = jnp.einsum("rv,rvi->ri", bary, geom.world_n[tri])
-            tuv = jnp.einsum("rv,rvi->ri", bary, scene.tri_uv[tri])
+            tp_r = jnp.einsum("rv,rvi->ri", bary,
+                              _sc_fetch(static, mine, geom.world_p[tri]))
+            tn_r = jnp.einsum("rv,rvi->ri", bary,
+                              _sc_fetch(static, mine, geom.world_n[tri]))
+            tuv = jnp.einsum("rv,rvi->ri", bary,
+                             _sc_fetch(static, mine, scene.tri_uv[tri]))
             tp = vec3.from_rows(tp_r)
             tn = vec3.from_rows(tn_r)
             tu, tv = tuv[:, 0], tuv[:, 1]
@@ -421,7 +488,9 @@ def bounce_wavefront(
         if static.use_fat_shading:
             prim = jnp.where(alive, raw.prim, 0)
             P = geom.prim_rows.shape[0]
-            rows = geom.prim_rows[jnp.clip(prim, 0, P - 1)]
+            lp, mine = _sc_decode(static, geom, prim)
+            rows = geom.prim_rows[jnp.clip(lp, 0, P - 1)]
+            rows = _sc_fetch(static, mine, rows)
         else:
             rows = None
 
@@ -708,7 +777,18 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
     if static.use_pallas_sweep and static.has_tris and static.bvh_mode == "none":
         from ..ops.pallas_tri_sweep import pack_tri_table
 
-        tri_table16 = pack_tri_table(world_p, static.num_triangles)
+        num_tris = static.num_triangles
+        if static.scene_axis is not None:
+            # Scene sharding: validity is a GLOBAL row property; clamp
+            # the count to this shard's slice (dup-padding rows beyond
+            # it are inert anyway — a duplicate at a higher id never
+            # wins the strict-< sweep — but zero-row compile padding
+            # must stay invalid).
+            T_loc = world_p.shape[0]
+            rank = jax.lax.axis_index(static.scene_axis).astype(jnp.int32)
+            num_tris = jnp.clip(
+                static.num_triangles - rank * T_loc, 0, T_loc)
+        tri_table16 = pack_tri_table(world_p, num_tris)
         # Attribute table: n0, n1-n0, n2-n0, uv0, uv1-uv0, uv2-uv0, pad.
         T = world_n.shape[0]
         T8 = tri_table16.shape[0]

@@ -9,6 +9,13 @@ Layout:
   read-only scene state — then one `psum` over "sp" (ICI) folds partial
   sample sums; the output image shards over "px" with no communication.
 
+Optional third axis ("sc") SHARDS THE SCENE ITSELF for scenes too large
+to replicate per chip: primitive tables (and the fat shading rows) are
+row-sharded over "sc", rays replicate across it, and every bounce runs
+one closest-hit pmin combine plus one-owner masked psums for the
+winner's rows (engine/wavefront._sc_combine_hit / _sc_fetch) — all over
+ICI.  make_mesh(sp=, sc=) builds either layout.
+
 This is the TPU-native replacement for what would be multi-queue /
 multi-GPU work distribution in the reference's architecture (it had none).
 """
@@ -28,17 +35,27 @@ from ..engine.wavefront import BatchGeometry, prepare_batch, render_tile
 from ..ops import camera as cam_ops
 
 
-def make_mesh(devices=None, sp: Optional[int] = None) -> Mesh:
-    """Build a ("px", "sp") mesh from the available devices.
+def make_mesh(devices=None, sp: Optional[int] = None,
+              sc: Optional[int] = None) -> Mesh:
+    """Build a ("px", "sp") — or ("px", "sp", "sc") — mesh.
 
     `sp` fixes the sample-axis size (must divide device count); by default
-    uses 2 when the device count is even, else 1.
+    uses 2 when the device count is even, else 1.  `sc` > 1 adds the
+    scene-sharding axis: primitive tables are row-sharded over it and the
+    bounce loop combines per-shard hits with pmin/psum collectives — for
+    scenes too large to replicate per chip.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    sc = sc or 1
     if sp is None:
-        sp = 2 if n % 2 == 0 and n > 1 else 1
-    assert n % sp == 0, f"sp={sp} must divide device count {n}"
+        rem = n // sc
+        sp = 2 if rem % 2 == 0 and rem > 1 else 1
+    assert n % (sp * sc) == 0, \
+        f"sp*sc={sp}*{sc} must divide device count {n}"
+    if sc > 1:
+        arr = np.asarray(devices).reshape(n // (sp * sc), sp, sc)
+        return Mesh(arr, axis_names=("px", "sp", "sc"))
     arr = np.asarray(devices).reshape(n // sp, sp)
     return Mesh(arr, axis_names=("px", "sp"))
 
@@ -103,6 +120,128 @@ def sharded_batch_fn(static: SceneStatic, mesh: Mesh, use_dof: bool,
         shard_body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
+        out_specs=(P("px", None, None), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+# ---------------------------------------------------------------- scene
+# sharding ("sc" axis): primitive tables row-sharded across devices, for
+# scenes too large to replicate per chip.  The bounce loop's collectives
+# live in engine/wavefront (_sc_combine_hit / _sc_fetch).
+
+#: per-primitive SceneArrays leaves sharded along "sc" (plus shade_rows,
+#: rebuilt family-aware below)
+_SC_SPH = ("sph_center", "sph_radius", "sph_inst", "sph_mat_type",
+           "sph_mat_index")
+_SC_TRI = ("tri_p", "tri_n", "tri_uv", "tri_inst", "tri_mat_type",
+           "tri_mat_index")
+_SC_SHARDED = _SC_SPH + _SC_TRI + ("shade_rows",)
+
+
+def _pad_dup(a: np.ndarray, n: int) -> np.ndarray:
+    """Pad dim0 to a multiple of n by DUPLICATING the last row: a
+    duplicate primitive at a higher id never wins the strict-< closest-
+    hit sweep, so the padding is provably inert for any fill content."""
+    pad = -(-a.shape[0] // n) * n - a.shape[0]
+    if pad == 0:
+        return a
+    return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+
+
+def shard_scene_arrays(scene: SceneArrays, n_sc: int) -> SceneArrays:
+    """Replicated SceneArrays -> stacked [n_sc, local, ...] per-prim
+    leaves (family-aware: shade_rows' [spheres | tris] block layout is
+    rebuilt per shard so each shard's fat-row table matches its slices);
+    all other leaves pass through replicated."""
+    np_of = lambda x: np.asarray(x)
+    s_pad = np_of(scene.sph_center).shape[0]
+    upd = {}
+    for f in _SC_SPH:
+        a = _pad_dup(np_of(getattr(scene, f)), n_sc)
+        upd[f] = jnp.asarray(a.reshape((n_sc, -1) + a.shape[1:]))
+    for f in _SC_TRI:
+        a = _pad_dup(np_of(getattr(scene, f)), n_sc)
+        upd[f] = jnp.asarray(a.reshape((n_sc, -1) + a.shape[1:]))
+    sr = np_of(scene.shade_rows)
+    sph_rows = _pad_dup(sr[:s_pad], n_sc).reshape(n_sc, -1, sr.shape[1])
+    tri_rows = _pad_dup(sr[s_pad:], n_sc).reshape(n_sc, -1, sr.shape[1])
+    upd["shade_rows"] = jnp.asarray(
+        np.concatenate([sph_rows, tri_rows], axis=1))
+    return scene._replace(**upd)
+
+
+def shard_sphere_tables(tables: np.ndarray, n_sc: int) -> np.ndarray:
+    """[B, S, 5] world sphere tables -> [B, n_sc, S_local, 5]."""
+    B, S = tables.shape[0], tables.shape[1]
+    S2 = -(-S // n_sc) * n_sc
+    out = np.empty((B, S2, tables.shape[2]), tables.dtype)
+    for b in range(B):
+        out[b] = _pad_dup(tables[b], n_sc)
+    return out.reshape(B, n_sc, S2 // n_sc, tables.shape[2])
+
+
+def scene_sharded_batch_fn(static: SceneStatic, mesh: Mesh, use_dof: bool,
+                           rows_inner: Optional[int] = None):
+    """Sharded batch step with SCENE sharding: per-prim scene leaves and
+    the per-batch sphere table arrive stacked [n_sc, ...] with P("sc");
+    prepare_batch runs on the local slice inside shard_map, so each chip
+    holds and refits 1/n_sc of the geometry.  Rays replicate over "sc";
+    the per-bounce closest-hit pmin + one-owner row psums reproduce the
+    replicated render exactly (see wavefront._sc_combine_hit)."""
+    n_sc = mesh.shape["sc"]
+    assert static.scene_axis == "sc" and static.scene_shards == n_sc
+    assert static.use_fat_shading, "scene sharding needs the fat-row ABI"
+    assert static.bvh_mode == "none", "scene sharding shards the soup, not a BVH"
+    assert not static.use_megakernel
+    n_px = mesh.shape["px"]
+    n_sp = mesh.shape["sp"]
+    spp = static.sqrt_spp ** 2
+    if spp % n_sp != 0:
+        raise ValueError(f"effective spp {spp} must be divisible by sp={n_sp}")
+    spp_local = spp // n_sp
+    rows_local = _padded_rows(static.height, n_px)
+    rows_inner = min(rows_inner or rows_local, rows_local)
+    n_inner = -(-rows_local // rows_inner)
+
+    def shard_body(scene_st, sph_tab, time, cam, sample_batch):
+        from ..engine.wavefront import make_trace_fn
+
+        scene = scene_st._replace(
+            **{f: getattr(scene_st, f)[0] for f in _SC_SHARDED})
+        tab = sph_tab[0] if static.sphere_world_mode else None
+        geom = prepare_batch(static, scene, time, sph_table=tab)
+        px_rank = jax.lax.axis_index("px")
+        sp_rank = jax.lax.axis_index("sp")
+        row_base = (px_rank * rows_local).astype(jnp.int32)
+        sample_base = (sp_rank * spp_local).astype(jnp.uint32)
+        trace = make_trace_fn(static, scene, geom)
+        tiles = []
+        rays = jnp.float32(0.0)
+        for i in range(n_inner):
+            rows_i = min(rows_inner, rows_local - i * rows_inner)
+            tile_i, rays_i = render_tile(
+                static, scene, cam, trace, geom,
+                sample_batch, row_base + i * rows_inner, rows_i, use_dof,
+                spp_local=spp_local, sample_base=sample_base,
+                reduce_mean=False,
+            )
+            tiles.append(tile_i)
+            rays = rays + rays_i
+        tile_sum = tiles[0] if n_inner == 1 else jnp.concatenate(tiles, 0)
+        tile_sum = jax.lax.psum(tile_sum, "sp")
+        # rays are identical across "sc" replicas — do NOT psum over it.
+        rays = jax.lax.psum(rays, ("px", "sp"))
+        return tile_sum / spp, rays
+
+    scene_specs = SceneArrays(**{
+        f: (P("sc") if f in _SC_SHARDED else P())
+        for f in SceneArrays._fields})
+    mapped = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(scene_specs, P("sc"), P(), P(), P()),
         out_specs=(P("px", None, None), P()),
         check_vma=False,
     )
@@ -231,12 +370,17 @@ class MultiChipRenderer:
         self._time = _time
         self.compiled = compiled
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_sc = dict(self.mesh.shape).get("sc", 1)
 
         # Same BVH policy as the single-chip Renderer (renderer.py):
-        # native SAH over the triangle soup for big meshes.
+        # native SAH over the triangle soup for big meshes.  Scene
+        # sharding shards the SOUP, not a BVH — brute-force/Pallas
+        # sweeps only.
         bvh = None
         if use_bvh == "auto":
-            use_bvh = compiled.num_triangles > 8192
+            use_bvh = compiled.num_triangles > 8192 and self.n_sc == 1
+        if use_bvh and self.n_sc > 1:
+            raise ValueError("scene sharding (sc > 1) does not support a BVH")
         if use_bvh and compiled.num_triangles > 0:
             from ..models.bvh_build import (build_bvh, build_bvh_sah,
                                             permute_soup)
@@ -277,13 +421,19 @@ class MultiChipRenderer:
                 self.static = dataclasses.replace(
                     self.static, use_pallas_sweep=False
                 )
-        if self.static.use_pallas_sweep:
+        if self.static.use_pallas_sweep and self.n_sc == 1:
             from ..ops.megakernel import megakernel_supported
 
             if megakernel_supported(self.static):
                 self.static = dataclasses.replace(
                     self.static, use_megakernel=True
                 )
+        if self.n_sc > 1:
+            if not self.static.use_fat_shading:
+                raise ValueError(
+                    "scene sharding needs the fat-row ABI (shade_rows)")
+            self.static = dataclasses.replace(
+                self.static, scene_axis="sc", scene_shards=self.n_sc)
         self._use_dof_flag = None
 
         name = camera_name or compiled.render.camera
@@ -301,8 +451,19 @@ class MultiChipRenderer:
         spp_local = max(1, self.static.sqrt_spp ** 2 // max(1, n_sp))
         ray_budget = (1 << 15) if self.bvh is not None else (1 << 20)
         rows_inner = max(1, ray_budget // (self.static.width * spp_local))
-        self._step = sharded_batch_fn(self.static, self.mesh, use_dof,
-                                      rows_inner=rows_inner)
+        if self.n_sc > 1:
+            self._scene_stacked = shard_scene_arrays(self.scene, self.n_sc)
+            if self.sphere_tables is not None:
+                self._sph_tabs_sc = shard_sphere_tables(
+                    np.asarray(self.sphere_tables), self.n_sc)
+            else:
+                B = len(self.batch_times)
+                self._sph_tabs_sc = np.zeros((B, self.n_sc, 1, 5), np.float32)
+            self._step = scene_sharded_batch_fn(
+                self.static, self.mesh, use_dof, rows_inner=rows_inner)
+        else:
+            self._step = sharded_batch_fn(self.static, self.mesh, use_dof,
+                                          rows_inner=rows_inner)
 
         # Fused k-batch chunk path (megakernel only): per-shard snake
         # cost assignment + chunked dispatch, the single-chip fast path
@@ -347,17 +508,26 @@ class MultiChipRenderer:
             return False
         t0 = self._time.perf_counter()
         H = self.static.height
-        sph_table = (
-            self.sphere_tables[self.current_batch]
-            if self.sphere_tables is not None else None
-        )
-        geom = self._prepare(
-            self.scene, jnp.float32(self.batch_times[self.current_batch]),
-            sph_table=sph_table,
-        )
-        img_pad, rays = self._step(
-            self.scene, geom, self.camera, jnp.int32(self.current_batch)
-        )
+        if self.n_sc > 1:
+            img_pad, rays = self._step(
+                self._scene_stacked,
+                jnp.asarray(self._sph_tabs_sc[self.current_batch]),
+                jnp.float32(self.batch_times[self.current_batch]),
+                self.camera, jnp.int32(self.current_batch),
+            )
+        else:
+            sph_table = (
+                self.sphere_tables[self.current_batch]
+                if self.sphere_tables is not None else None
+            )
+            geom = self._prepare(
+                self.scene,
+                jnp.float32(self.batch_times[self.current_batch]),
+                sph_table=sph_table,
+            )
+            img_pad, rays = self._step(
+                self.scene, geom, self.camera, jnp.int32(self.current_batch)
+            )
         img = img_pad[:H]
         b = jnp.float32(self.current_batch)
         self.accum = (b * self.accum + img) / (b + 1.0)
