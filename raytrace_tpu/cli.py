@@ -9,7 +9,7 @@ reference, which loses all progress on exit (SURVEY.md §5).
 Usage:
   python -m raytrace_tpu.cli render --path scene.json [-o out.png]
       [--width W] [--height H] [--mesh-geometry] [--checkpoint ck.npz]
-      [--resume] [--multichip] [--preview-every N]
+      [--resume] [--multichip [--scene-shards N]] [--preview-every N]
   python -m raytrace_tpu.cli gen-final-one-weekend [--out-dir assets]
 """
 
@@ -45,9 +45,13 @@ def cmd_render(args) -> int:
     out = args.output or (os.path.splitext(os.path.basename(args.path))[0] + ".png")
 
     if args.multichip:
-        from .parallel import MultiChipRenderer
+        from .parallel import MultiChipRenderer, make_mesh
 
-        renderer = MultiChipRenderer(cs)
+        mesh = (make_mesh(sc=args.scene_shards)
+                if args.scene_shards > 1 else None)
+        renderer = MultiChipRenderer(cs, mesh=mesh)
+    elif args.scene_shards > 1:
+        raise SystemExit("--scene-shards requires --multichip")
     else:
         renderer = Renderer(cs, debug=args.debug)
 
@@ -144,6 +148,10 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint", default=None)
     pr.add_argument("--resume", action="store_true")
     pr.add_argument("--multichip", action="store_true")
+    pr.add_argument("--scene-shards", type=int, default=1,
+                    help="row-shard the primitive tables over an 'sc' mesh"
+                         " axis (scenes too large to replicate per chip);"
+                         " needs --multichip")
     pr.add_argument("--preview-every", type=int, default=0,
                     help="write the PNG every N batches (progressive preview)")
     pr.add_argument("--debug", action="store_true",
