@@ -44,14 +44,21 @@ def cmd_render(args) -> int:
 
     out = args.output or (os.path.splitext(os.path.basename(args.path))[0] + ".png")
 
+    from .scene_file import SceneError
+
+    if args.scene_shards < 1:
+        raise SceneError(f"--scene-shards must be >= 1, got {args.scene_shards}")
     if args.multichip:
         from .parallel import MultiChipRenderer, make_mesh
 
-        mesh = (make_mesh(sc=args.scene_shards)
-                if args.scene_shards > 1 else None)
-        renderer = MultiChipRenderer(cs, mesh=mesh)
+        try:
+            mesh = (make_mesh(sc=args.scene_shards)
+                    if args.scene_shards > 1 else None)
+            renderer = MultiChipRenderer(cs, mesh=mesh)
+        except ValueError as e:
+            raise SceneError(str(e))
     elif args.scene_shards > 1:
-        raise SystemExit("--scene-shards requires --multichip")
+        raise SceneError("--scene-shards requires --multichip")
     else:
         renderer = Renderer(cs, debug=args.debug)
 

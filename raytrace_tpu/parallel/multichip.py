@@ -48,11 +48,14 @@ def make_mesh(devices=None, sp: Optional[int] = None,
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     sc = sc or 1
+    if sc < 1:
+        raise ValueError(f"sc must be >= 1, got {sc}")
     if sp is None:
-        rem = n // sc
+        rem = max(1, n // sc)
         sp = 2 if rem % 2 == 0 and rem > 1 else 1
-    assert n % (sp * sc) == 0, \
-        f"sp*sc={sp}*{sc} must divide device count {n}"
+    if n % (sp * sc) != 0:
+        raise ValueError(
+            f"sp*sc = {sp}*{sc} must divide the device count {n}")
     if sc > 1:
         arr = np.asarray(devices).reshape(n // (sp * sc), sp, sc)
         return Mesh(arr, axis_names=("px", "sp", "sc"))
@@ -90,31 +93,9 @@ def sharded_batch_fn(static: SceneStatic, mesh: Mesh, use_dof: bool,
     n_inner = -(-rows_local // rows_inner)
 
     def shard_body(scene, geom, cam, sample_batch):
-        px_rank = jax.lax.axis_index("px")
-        sp_rank = jax.lax.axis_index("sp")
-        row_base = (px_rank * rows_local).astype(jnp.int32)
-        sample_base = (sp_rank * spp_local).astype(jnp.uint32)
-        tiles = []
-        rays = jnp.float32(0.0)
-        for i in range(n_inner):
-            rows_i = min(rows_inner, rows_local - i * rows_inner)
-            tile_i, rays_i = render_tile(
-                static, scene, cam, _trace(static, scene, geom), geom,
-                sample_batch, row_base + i * rows_inner, rows_i, use_dof,
-                spp_local=spp_local, sample_base=sample_base,
-                reduce_mean=False,
-            )
-            tiles.append(tile_i)
-            rays = rays + rays_i
-        tile_sum = tiles[0] if n_inner == 1 else jnp.concatenate(tiles, 0)
-        tile_sum = jax.lax.psum(tile_sum, "sp")
-        rays = jax.lax.psum(rays, ("px", "sp"))
-        return tile_sum / spp, rays
-
-    def _trace(static, scene, geom: BatchGeometry):
-        from ..engine.wavefront import make_trace_fn
-
-        return make_trace_fn(static, scene, geom)
+        return _shard_tile_loop(static, scene, geom, cam, sample_batch,
+                                use_dof, rows_local, rows_inner, n_inner,
+                                spp, spp_local)
 
     mapped = jax.shard_map(
         shard_body,
@@ -124,6 +105,37 @@ def sharded_batch_fn(static: SceneStatic, mesh: Mesh, use_dof: bool,
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def _shard_tile_loop(static, scene, geom, cam, sample_batch, use_dof,
+                     rows_local, rows_inner, n_inner, spp, spp_local):
+    """Per-shard tile loop shared by the replicated and scene-sharded
+    steps: render this ('px','sp') shard's row block in n_inner
+    dispatches, then psum sample partials over 'sp'.  Rays replicate
+    over any 'sc' axis — psum only ('px','sp')."""
+    from ..engine.wavefront import make_trace_fn
+
+    px_rank = jax.lax.axis_index("px")
+    sp_rank = jax.lax.axis_index("sp")
+    row_base = (px_rank * rows_local).astype(jnp.int32)
+    sample_base = (sp_rank * spp_local).astype(jnp.uint32)
+    trace = make_trace_fn(static, scene, geom)
+    tiles = []
+    rays = jnp.float32(0.0)
+    for i in range(n_inner):
+        rows_i = min(rows_inner, rows_local - i * rows_inner)
+        tile_i, rays_i = render_tile(
+            static, scene, cam, trace, geom,
+            sample_batch, row_base + i * rows_inner, rows_i, use_dof,
+            spp_local=spp_local, sample_base=sample_base,
+            reduce_mean=False,
+        )
+        tiles.append(tile_i)
+        rays = rays + rays_i
+    tile_sum = tiles[0] if n_inner == 1 else jnp.concatenate(tiles, 0)
+    tile_sum = jax.lax.psum(tile_sum, "sp")
+    rays = jax.lax.psum(rays, ("px", "sp"))
+    return tile_sum / spp, rays
 
 
 # ---------------------------------------------------------------- scene
@@ -150,25 +162,26 @@ def _pad_dup(a: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
 
 
-def shard_scene_arrays(scene: SceneArrays, n_sc: int) -> SceneArrays:
+def shard_scene_arrays(scene: SceneArrays, n_sc: int,
+                       mesh: Optional[Mesh] = None) -> SceneArrays:
     """Replicated SceneArrays -> stacked [n_sc, local, ...] per-prim
     leaves (family-aware: shade_rows' [spheres | tris] block layout is
     rebuilt per shard so each shard's fat-row table matches its slices);
-    all other leaves pass through replicated."""
+    all other leaves pass through replicated.  With a mesh, each stacked
+    leaf is committed SHARDED over "sc" — a device holds only its slice,
+    which is the point of scene sharding."""
+    put = (lambda a: jnp.asarray(a)) if mesh is None else (
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("sc"))))
     np_of = lambda x: np.asarray(x)
     s_pad = np_of(scene.sph_center).shape[0]
     upd = {}
-    for f in _SC_SPH:
+    for f in _SC_SPH + _SC_TRI:
         a = _pad_dup(np_of(getattr(scene, f)), n_sc)
-        upd[f] = jnp.asarray(a.reshape((n_sc, -1) + a.shape[1:]))
-    for f in _SC_TRI:
-        a = _pad_dup(np_of(getattr(scene, f)), n_sc)
-        upd[f] = jnp.asarray(a.reshape((n_sc, -1) + a.shape[1:]))
+        upd[f] = put(a.reshape((n_sc, -1) + a.shape[1:]))
     sr = np_of(scene.shade_rows)
     sph_rows = _pad_dup(sr[:s_pad], n_sc).reshape(n_sc, -1, sr.shape[1])
     tri_rows = _pad_dup(sr[s_pad:], n_sc).reshape(n_sc, -1, sr.shape[1])
-    upd["shade_rows"] = jnp.asarray(
-        np.concatenate([sph_rows, tri_rows], axis=1))
+    upd["shade_rows"] = put(np.concatenate([sph_rows, tri_rows], axis=1))
     return scene._replace(**upd)
 
 
@@ -206,34 +219,13 @@ def scene_sharded_batch_fn(static: SceneStatic, mesh: Mesh, use_dof: bool,
     n_inner = -(-rows_local // rows_inner)
 
     def shard_body(scene_st, sph_tab, time, cam, sample_batch):
-        from ..engine.wavefront import make_trace_fn
-
         scene = scene_st._replace(
             **{f: getattr(scene_st, f)[0] for f in _SC_SHARDED})
         tab = sph_tab[0] if static.sphere_world_mode else None
         geom = prepare_batch(static, scene, time, sph_table=tab)
-        px_rank = jax.lax.axis_index("px")
-        sp_rank = jax.lax.axis_index("sp")
-        row_base = (px_rank * rows_local).astype(jnp.int32)
-        sample_base = (sp_rank * spp_local).astype(jnp.uint32)
-        trace = make_trace_fn(static, scene, geom)
-        tiles = []
-        rays = jnp.float32(0.0)
-        for i in range(n_inner):
-            rows_i = min(rows_inner, rows_local - i * rows_inner)
-            tile_i, rays_i = render_tile(
-                static, scene, cam, trace, geom,
-                sample_batch, row_base + i * rows_inner, rows_i, use_dof,
-                spp_local=spp_local, sample_base=sample_base,
-                reduce_mean=False,
-            )
-            tiles.append(tile_i)
-            rays = rays + rays_i
-        tile_sum = tiles[0] if n_inner == 1 else jnp.concatenate(tiles, 0)
-        tile_sum = jax.lax.psum(tile_sum, "sp")
-        # rays are identical across "sc" replicas — do NOT psum over it.
-        rays = jax.lax.psum(rays, ("px", "sp"))
-        return tile_sum / spp, rays
+        return _shard_tile_loop(static, scene, geom, cam, sample_batch,
+                                use_dof, rows_local, rows_inner, n_inner,
+                                spp, spp_local)
 
     scene_specs = SceneArrays(**{
         f: (P("sc") if f in _SC_SHARDED else P())
@@ -444,7 +436,11 @@ class MultiChipRenderer:
         )
         use_dof = compiled.cameras[name].aperture_size > 0.0
         self._use_dof_flag = use_dof
-        self._prepare = jax.jit(functools.partial(prepare_batch, self.static))
+        if self.n_sc == 1:
+            # sc mode prepares INSIDE shard_map (prepare_batch calls
+            # axis_index(scene_axis), illegal outside it).
+            self._prepare = jax.jit(
+                functools.partial(prepare_batch, self.static))
 
         # Single-chip dispatch budget (~1M rays) applied per shard.
         n_sp = self.mesh.shape["sp"]
@@ -452,13 +448,21 @@ class MultiChipRenderer:
         ray_budget = (1 << 15) if self.bvh is not None else (1 << 20)
         rows_inner = max(1, ray_budget // (self.static.width * spp_local))
         if self.n_sc > 1:
-            self._scene_stacked = shard_scene_arrays(self.scene, self.n_sc)
+            self._scene_stacked = shard_scene_arrays(
+                self.scene, self.n_sc, mesh=self.mesh)
             if self.sphere_tables is not None:
-                self._sph_tabs_sc = shard_sphere_tables(
+                tabs = shard_sphere_tables(
                     np.asarray(self.sphere_tables), self.n_sc)
             else:
                 B = len(self.batch_times)
-                self._sph_tabs_sc = np.zeros((B, self.n_sc, 1, 5), np.float32)
+                tabs = np.zeros((B, self.n_sc, 1, 5), np.float32)
+            self._sph_tabs_sc = jax.device_put(
+                tabs, NamedSharding(self.mesh, P(None, "sc")))
+            # free the replicated per-prim device copies (the whole point
+            # of sc mode is not holding the full scene per chip); the
+            # stacked scene keeps the replicated non-prim leaves.
+            tiny = {f: getattr(self.scene, f)[:1] for f in _SC_SHARDED}
+            self.scene = self.scene._replace(**tiny)
             self._step = scene_sharded_batch_fn(
                 self.static, self.mesh, use_dof, rows_inner=rows_inner)
         else:
@@ -511,7 +515,7 @@ class MultiChipRenderer:
         if self.n_sc > 1:
             img_pad, rays = self._step(
                 self._scene_stacked,
-                jnp.asarray(self._sph_tabs_sc[self.current_batch]),
+                self._sph_tabs_sc[self.current_batch],
                 jnp.float32(self.batch_times[self.current_batch]),
                 self.camera, jnp.int32(self.current_batch),
             )

@@ -68,8 +68,20 @@ def test_scene_sharded_mixed_families():
 
 
 @pytest.mark.slow
+def test_scene_sharded_three_way_dup_padding():
+    """sc=3 (px=2, sp=1 on 6 devices): 488 % 3 != 0, so _pad_dup
+    actually pads — the duplicate-at-higher-id-never-wins argument gets
+    real coverage (sc in {2,4,8} divides every compile-padded family)."""
+    devices = jax.devices()[:8]
+    cs = _tiny("final-one-weekend.json", width=24, spp=4, batches=1)
+    rep = MultiChipRenderer(cs, mesh=make_mesh(devices[:2], sp=1))
+    shd = MultiChipRenderer(cs, mesh=make_mesh(devices[:6], sp=1, sc=3))
+    np.testing.assert_array_equal(rep.render_all(), shd.render_all())
+
+
+@pytest.mark.slow
 def test_scene_sharded_four_way():
-    """sc=4 (px=2, sp=1): uneven family sizes exercise the dup padding."""
+    """sc=4 (px=2, sp=1): the deepest committed shard count."""
     devices = jax.devices()[:8]
     cs = _tiny("final-one-weekend.json", width=24, spp=4, batches=1)
     rep = MultiChipRenderer(cs, mesh=make_mesh(devices[:2], sp=1))
