@@ -120,7 +120,7 @@ class SceneStatic:
     # pallas-sweep preconditions and megakernel_supported()
     use_megakernel: bool = False
     # sphere-block split for the selective sweep (models/sphere_order.py):
-    # [0, sph_prefix) dense "global" spheres, rest Morton-clustered
+    # [0, sph_prefix) dense "global" spheres, rest greedy-clustered
     sph_prefix: int = 0
     # public kernel-strategy knobs (options.KernelOptions, env overrides
     # already folded in); None until a Renderer attaches them

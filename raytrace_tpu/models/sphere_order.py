@@ -7,7 +7,8 @@ tightness is what makes the pruning work, so compile_scene reorders the
 sphere block:
 
   [ global prefix: spheres too large to cluster, original order ]
-  [ local spheres in Morton order of their world-space centers  ]
+  [ local spheres in greedy nearest-neighbour groups of G, groups  ]
+  [ emitted in isotropic-Morton order of their centroids           ]
 
 The role matches the reference's driver-built BVH over sphere BLASes
 (acceleration.rs:37-80) — proximity in the table replaces proximity in a

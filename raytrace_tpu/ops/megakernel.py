@@ -122,7 +122,7 @@ class MegaConfig:
     # (render_tile_mega).  cfg.n_pix then counts items, not pixels.
     item_mode: bool = False
     # Cluster-selective sphere sweep (sub-linear in scene size): spheres
-    # [0, n_prefix) are "global" and swept densely; the rest are Morton-
+    # [0, n_prefix) are "global" and swept densely; the rest are spatially
     # ordered clusters of clu_g spheres traversed per lane nearest-first
     # (models/sphere_order.py).  n_clusters_pad = one-hot matmul lane pad.
     use_sel: bool = False
@@ -142,7 +142,7 @@ class MegaConfig:
     # Cluster sieve: MXU pretest on cluster BOUNDING spheres + exact
     # per-candidate rounds (_sweep_sieve) — sub-linear in S and
     # bit-exact vs the dense scalar sweep.  Preferred over use_mxu_sweep
-    # when the Morton-clustered layout exists (sph_prefix > 0).
+    # when the clustered layout exists (sph_prefix > 0).
     use_sieve: bool = False
     # Unrolled candidate rounds (straight-line code schedules ~2x the
     # issue rate of a dynamic-trip fori); a dynamic residual loop covers
@@ -190,7 +190,7 @@ class MegaConfig:
     # bit-exactly (tests/test_megakernel.py).
     use_balance: str = ""
     # AABB slab pretest for the sieve/gather candidate masks (replaces
-    # the cluster bounding-sphere quadratic).  Morton runs of G spheres
+    # the cluster bounding-sphere quadratic).  Clusters of G spheres
     # make long thin boxes whose bounding spheres are loose: measured on
     # final-one-weekend bounce populations (tools_dev/balance_sim.py),
     # the box test passes mean ~2.5-3.0 clusters/ray vs the sphere
@@ -311,7 +311,7 @@ def _split3(x):
 
 def _sweep_selective(cfg: MegaConfig, bnd_ref, clu_ref, o: V3,
                      d: V3, active, nzero, a, inv_a, ddo, osq, bt, bid):
-    """Per-lane cluster traversal of the Morton-ordered sphere section —
+    """Per-lane cluster traversal of the clustered sphere section —
     the TPU shape of BVH traversal (no gathers):
 
     1. pretest: every lane slab-tests all C cluster AABBs (vector math
@@ -937,7 +937,7 @@ def _sweep_sieve(cfg: MegaConfig, sieveT_ref, w_ref, clu_ref, o: V3, d: V3,
                  active, a, inv_a, ddo, osq, bt, bid, nzero):
     """Cluster-sieve sphere sweep — sub-linear AND bit-exact.
 
-    One matmul computes (c.d, c.o - k/2) for every Morton CLUSTER's
+    One matmul computes (c.d, c.o - k/2) for every CLUSTER's
     bounding sphere; an elementwise quadratic pass over [Cp, 1024] builds
     a conservative per-lane candidate bitmask (disc >= -eps margin, exit
     in front, entry before the current best t from the dense prefix),
@@ -1167,7 +1167,7 @@ def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref,
     With use_mxu_sweep the sphere block goes through _sweep_mxu (dot
     products on the MXU, elementwise solve over [S,1024]).  With
     use_sel, only the n_prefix "global" spheres are swept densely and
-    the remaining Morton-clustered spheres go through _sweep_selective
+    the remaining clustered spheres go through _sweep_selective
     (per-lane nearest-first cluster traversal — sub-linear in S).
 
     Returns (t, prim, is_sphere, bu, bv, tri_p) matching
@@ -1744,7 +1744,7 @@ def cluster_aabbs(grid, C: int, G: int):
 def build_cluster_tables(cfg: MegaConfig, sph_table8):
     """Selective-sweep tables from the per-batch sphere table.
 
-    Returns (bounds [C,8] AABBs for the Morton G-clusters past n_prefix,
+    Returns (bounds [C,8] AABBs for the G-clusters past n_prefix,
     cluT [3*G*4, Cp] split-exact transposed fetch table)."""
     C, Cp, G = cfg.n_clusters, cfg.n_clusters_pad, cfg.clu_g
     S8 = sph_table8.shape[0]
@@ -2013,7 +2013,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     # pretest + per-lane candidate rounds that fetch each cluster's
     # spheres with lane gathers (bit-exact vs the dense scalar sweep).
     # Measured 3.89 us/cell-iter at G=4 + 16 unrolled rounds vs 5.63 for
-    # the dense MXU sweep on final-one-weekend.  Needs the Morton
+    # the dense MXU sweep on final-one-weekend.  Needs the greedy
     # cluster layout and C <= 128 (gather table width); clu_g is bumped
     # for big scenes so C fits.
     use_gather = n_prefix > 0 and sweep in ("auto", "gather")
