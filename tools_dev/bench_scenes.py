@@ -87,6 +87,8 @@ def main():
             "max_rgb": round(float(img.max()), 3),
             "warm_matches_cold": bool(np.array_equal(img, img2)),
             "path": "megakernel" if r.static.use_megakernel else "wavefront",
+            # regression attribution: the resolved kernel strategy
+            "options": repr(r.static.kernel_options),
         }
         out["scenes"][name] = rec
         print(name, json.dumps(rec))
