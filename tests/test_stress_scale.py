@@ -71,7 +71,7 @@ def test_group_order_partial_group_stays_last():
 
     rng = np.random.default_rng(0)
     pts = rng.random((485, 3)) * 20
-    order = _group_order(pts, 4)
+    order = _group_order(pts, np.full(485, 0.1), 4)
     assert sorted(order.tolist()) == list(range(485))
     # all runs of 4 before the tail are full greedy groups; only the
     # final element is the partial group
