@@ -91,6 +91,26 @@ def test_scene_sharded_four_way():
     np.testing.assert_array_equal(rep_img, shd_img)
 
 
+@pytest.mark.slow
+def test_cli_scene_sharded_render(tmp_path):
+    """End-to-end: `render --multichip --scene-shards 2` through the CLI
+    writes the same PNG as the replicated multichip render."""
+    from raytrace_tpu.cli import main
+
+    scene = reference_asset("diffuse-spheres.json")
+    out_a = tmp_path / "rep.png"
+    out_b = tmp_path / "sc.png"
+    assert main(["render", "--path", scene, "--width", "24",
+                 "--multichip", "-o", str(out_a)]) == 0
+    assert main(["render", "--path", scene, "--width", "24",
+                 "--multichip", "--scene-shards", "2",
+                 "-o", str(out_b)]) == 0
+    import PIL.Image as Image
+    a = np.asarray(Image.open(out_a))
+    b = np.asarray(Image.open(out_b))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_scene_sharded_rejects_bvh():
     cs = _tiny("cornell-box.json", width=16, spp=1, batches=1, depth=2)
     devices = jax.devices()[:8]
