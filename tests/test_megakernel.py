@@ -386,6 +386,45 @@ def test_renderer_integration():
     assert np.abs(img_ref - img_mega).max() < 1e-4
 
 
+@pytest.mark.slow
+def test_renderer_integration_tuned_combo():
+    """The sim-backed fast combo (box pretest + pairwise split +
+    blockfori schedule) plumbs through the FULL Renderer chunk path
+    (render_batches with the snake cost perm) BIT-IDENTICALLY to the
+    default-options megakernel renderer: the sweep variants are
+    bit-exact, so the whole-render results must be too.  (The XLA
+    renderer is not the baseline here: final-one-weekend is chaotic —
+    DOF + dielectrics — so megakernel-vs-XLA only agrees statistically,
+    see test_statistical_parity.)"""
+    from raytrace_tpu.engine.renderer import Renderer
+    from raytrace_tpu.options import KernelOptions
+
+    sf = SceneFile.load_json(reference_asset("final-one-weekend.json"))
+    sf.render.samples_per_pixel = 4
+    sf.render.sample_batches = 4
+    sf.render.max_ray_depth = 5
+    cs = compile_scene(sf, width=48, height=27)
+
+    r_ref = Renderer(cs, use_pallas_sweep=True,
+                     kernel_options=KernelOptions(sweep="gather", q_pix=4))
+    assert r_ref.static.use_megakernel
+    r_ref.render_batches(2)
+    r_ref.render_batches(2)
+    img_ref = r_ref.image()
+
+    r = Renderer(cs, use_pallas_sweep=True,
+                 kernel_options=KernelOptions(
+                     sweep="gather", box=True, balance="pair",
+                     schedule="blockfori:4", rounds_unroll=0, q_pix=4))
+    assert r.static.use_megakernel
+    assert r.render_batches(2) == 2
+    assert r.render_batches(2) == 2   # snake cost perm from chunk 1
+    img = r.image()
+    assert np.isfinite(img).all()
+    np.testing.assert_array_equal(img_ref, img)
+    assert r_ref.stats.rays_traced == r.stats.rays_traced
+
+
 def test_fused_multibatch_chunk():
     """render_batches(k) fuses k batches into one kernel call on static
     scenes; the result must match per-batch stepping (same samples, same
