@@ -53,13 +53,19 @@ from raytrace_tpu.scene_file import SceneFile
 
 def main():
     n_sample = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
-    G = int(os.environ.get("SIM_G", 4))
     scene = (sys.argv[2] if len(sys.argv) > 2
              else "/root/reference/assets/final-one-weekend.json")
     sf = SceneFile.load_json(scene)
     cs = compile_scene(sf, width=1200, height=675)
     n = cs.num_spheres
     prefix = cs.sph_prefix
+    from raytrace_tpu.models.sphere_order import effective_cluster_g
+
+    # default to the G the kernel actually uses at this scene size (the
+    # grouping is built for it — slicing kd-16 leaves into 4s is NOT what
+    # the kernel does and reads ~2-3x worse than reality)
+    G = int(os.environ.get("SIM_G", 0)) or effective_cluster_g(n - prefix)
+    print(f"sim G = {G}")
 
     from raytrace_tpu.ops.spheres import world_sphere_tables
 
