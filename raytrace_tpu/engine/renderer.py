@@ -346,21 +346,27 @@ class Renderer:
                 self.static = dataclasses.replace(
                     self.static, use_pallas_sweep=False
                 )
-        # Whole-bounce-loop megakernel: the fast path on TPU whenever the
-        # scene fits its static gate (ops/megakernel.megakernel_supported).
-        if self._use_megakernel_pref and trace_builder is None:
-            from ..ops.megakernel import (deferred_image_supported,
-                                          megakernel_supported)
-
-            if (megakernel_supported(self.static)
-                    or deferred_image_supported(self.static)):
-                self.static = dataclasses.replace(
-                    self.static, use_megakernel=True
-                )
-
         name = camera_name or compiled.render.camera
         if name not in compiled.cameras:
             raise KeyError(f"Camera {name} not found")
+        # Whole-bounce-loop megakernel: the fast path on TPU whenever the
+        # scene fits its static gate (ops/megakernel.megakernel_supported).
+        if self._use_megakernel_pref and trace_builder is None:
+            from ..ops.megakernel import (camera_outside_spheres,
+                                          deferred_image_supported,
+                                          megakernel_supported)
+
+            if megakernel_supported(self.static) or (
+                    deferred_image_supported(self.static)
+                    # The single-texel factorization is exact only for
+                    # paths that see the image sphere at most once; a
+                    # camera INSIDE the sphere re-hits the interior every
+                    # bounce, so such scenes fall back to the wavefront.
+                    and camera_outside_spheres(
+                        self.sphere_tables, compiled.cameras[name].eye)):
+                self.static = dataclasses.replace(
+                    self.static, use_megakernel=True
+                )
         self.camera = cam_ops.build_camera_arrays(
             compiled.cameras[name], self.static.width, self.static.height
         )

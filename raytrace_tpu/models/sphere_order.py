@@ -118,6 +118,11 @@ def _emit_groups(c_w: np.ndarray, groups: list, group: int) -> np.ndarray:
     grouping exists to shrink."""
     partial = [g for g in groups if len(g) < group]
     groups = [g for g in groups if len(g) == group]
+    if not groups:
+        # Only a partial group (effective G > local sphere count):
+        # nothing to Morton-order, and _iso_morton_codes would crash on
+        # a zero-size reduction.
+        return np.concatenate([np.asarray(g) for g in partial])
     gc = np.array([c_w[g].mean(axis=0) for g in groups])
     go = np.argsort(_iso_morton_codes(gc), kind="stable")
     return np.concatenate(

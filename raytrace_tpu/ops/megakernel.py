@@ -1726,7 +1726,12 @@ def cluster_aabbs(grid, C: int, G: int):
 
     Conservative: boxes are inflated by a magnitude-scaled epsilon so f32
     rounding in the slab test can never skip a sphere the per-sphere f32
-    test would hit.  Empty clusters get an inverted box (never hit)."""
+    test would hit.  Empty clusters get an inverted box (mn=BIGF,
+    mx=-BIGF) as a SENTINEL ONLY: the use_box slab test takes per-axis
+    min/max of the two plane distances, which neutralizes inversion, so
+    inverted boxes PASS the pretest for every ray.  Correctness relies on
+    the w_ref packing matmul zeroing columns >= C (real cluster count) —
+    that column masking is load-bearing, not belt-and-braces."""
     g = grid.reshape(C, G, 8)
     c = g[..., 0:3]
     r = jnp.abs(g[..., 3:4])
@@ -2135,10 +2140,14 @@ def deferred_image_supported(static) -> bool:
     nor be fetched per-lane in Mosaic.
 
     The factorization is exact only when a path can see an image texture
-    at most ONCE, which is statically provable here: the scene's single
-    instance is one analytic convex sphere, so a ray scattered off it can
-    never re-enter it (covers earth.json / earth-motion-blur.json).
-    Image scenes outside this gate render on the XLA wavefront."""
+    at most ONCE: the scene's single instance is one analytic convex
+    sphere, so a ray scattered off its EXTERIOR can never re-enter it
+    (covers earth.json / earth-motion-blur.json).  That argument needs
+    the camera outside the sphere — from inside, every bounce re-hits
+    the interior — so the renderer additionally requires the dynamic
+    `camera_outside_spheres` check over all batch times before taking
+    this path.  Image scenes outside these gates render on the XLA
+    wavefront."""
     f = static.flags
     if not f.has_image or f.has_checker:
         return False
@@ -2151,6 +2160,22 @@ def deferred_image_supported(static) -> bool:
     if static.bvh_mode != "none":
         return False
     return True
+
+
+def camera_outside_spheres(sphere_tables, eye) -> bool:
+    """Host check: the camera origin lies strictly outside every real
+    sphere at every batch time (sphere_tables [B, S, 5] from
+    ops/spheres.world_sphere_tables; padding rows have r = 0).
+
+    Completes deferred_image_supported's convexity argument — a camera
+    inside the image sphere makes every bounce re-hit the interior,
+    breaking the one-texel-per-path factorization."""
+    if sphere_tables is None:
+        return False
+    t = np.asarray(sphere_tables, np.float64)
+    d = np.linalg.norm(t[..., 0:3] - np.asarray(eye, np.float64), axis=-1)
+    r = t[..., 3]
+    return bool(np.all(d > r * (1.0 + 1e-6) + 1e-9))
 
 
 def _texel_factor(scene, ti_items):

@@ -92,12 +92,16 @@ class KernelOptions:
     schedule: str = "auto"
 
     def __post_init__(self):
-        if self.schedule != "auto" and not (
-                self.schedule.startswith("blockfori")
-                or self.schedule.startswith("blockwhile")):
-            raise ValueError(
-                "schedule must be 'auto', 'blockfori[:k]' or "
-                f"'blockwhile[:k]', got {self.schedule!r}")
+        if self.schedule != "auto":
+            base, sep, k = self.schedule.partition(":")
+            ok = base in ("blockfori", "blockwhile")
+            if ok and sep:
+                ok = k.isdigit() and int(k) >= 1
+            if not ok:
+                raise ValueError(
+                    "schedule must be 'auto', 'blockfori[:k]' or "
+                    f"'blockwhile[:k]' with integer k >= 1, got "
+                    f"{self.schedule!r}")
         if self.sweep not in SWEEPS:
             raise ValueError(
                 f"sweep must be one of {SWEEPS}, got {self.sweep!r}")

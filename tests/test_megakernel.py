@@ -332,6 +332,35 @@ def test_deferred_image_tile_parity():
     assert abs(ref.mean() - got.mean()) < 1e-5
 
 
+def test_camera_inside_image_sphere_falls_back():
+    """A camera INSIDE the image-textured sphere re-hits the interior
+    every bounce, so the one-texel-per-path factorization is wrong for
+    it; the renderer must route such scenes to the XLA wavefront
+    (advisor round-3 medium finding).  The outside camera keeps the
+    deferred fast path."""
+    from raytrace_tpu.engine.renderer import Renderer
+    from raytrace_tpu.ops.megakernel import camera_outside_spheres
+
+    sf = SceneFile.load_json(reference_asset("earth.json"))
+    sf.render.samples_per_pixel = 1
+    sf.render.sample_batches = 1
+    sf.render.max_ray_depth = 4
+
+    cs = compile_scene(sf, width=16, height=9)
+    r_out = Renderer(cs, use_pallas_sweep=True)
+    assert r_out.static.use_megakernel
+    assert camera_outside_spheres(r_out.sphere_tables, [0, 0, 12])
+
+    # globe: center (0,0,0) radius 2 — move the eye inside
+    sf.cameras[0].eye = [0.0, 0.0, 1.0]
+    cs_in = compile_scene(sf, width=16, height=9)
+    r_in = Renderer(cs_in, use_pallas_sweep=True)
+    assert not r_in.static.use_megakernel
+    assert not camera_outside_spheres(r_in.sphere_tables, [0, 0, 1.0])
+    img = r_in.render_all()  # wavefront path still renders
+    assert np.isfinite(img).all()
+
+
 @pytest.mark.parametrize("name", [
     "earth.json",
     pytest.param("earth-motion-blur.json", marks=pytest.mark.slow),

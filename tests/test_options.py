@@ -30,6 +30,13 @@ def test_defaults_and_validation():
         KernelOptions(q_pix=0)
     # hashable: part of the jit static cache key
     assert hash(KernelOptions(q_pix=8)) != hash(KernelOptions(q_pix=4))
+    # schedule suffix is validated at construction, not deep in tracing
+    KernelOptions(schedule="blockfori:4")
+    KernelOptions(schedule="blockwhile")
+    for bad in ("blockfori:x", "blockfori:0", "blockwhile:-2",
+                "blockfori:", "bogus"):
+        with pytest.raises(ValueError):
+            KernelOptions(schedule=bad)
 
 
 def test_env_overrides_win(monkeypatch):

@@ -78,6 +78,19 @@ def test_group_order_partial_group_stays_last():
     assert len(order) % 4 == 1
 
 
+def test_group_order_no_full_groups():
+    """effective G above the local sphere count leaves only a partial
+    group; _emit_groups must return it instead of crashing on a
+    zero-size Morton reduction (advisor round-3 finding)."""
+    from raytrace_tpu.models.sphere_order import _group_order
+
+    rng = np.random.default_rng(1)
+    for n in (96, 100, 127):
+        pts = rng.random((n, 3)) * 20
+        order = _group_order(pts, np.full(n, 0.1), 128)
+        assert sorted(order.tolist()) == list(range(n))
+
+
 def test_effective_cluster_g_rule():
     assert effective_cluster_g(484) == 4
     assert effective_cluster_g(600) == 8
