@@ -122,6 +122,10 @@ class SceneStatic:
     # sphere-block split for the selective sweep (models/sphere_order.py):
     # [0, sph_prefix) dense "global" spheres, rest greedy-clustered
     sph_prefix: int = 0
+    # triangle-block cluster size (models/sphere_order.apply_triangle_order):
+    # consecutive runs of tri_cluster_g triangles are spatially tight for
+    # the megakernel's tri-gather sweep.  0 = file order (dense sweep).
+    tri_cluster_g: int = 0
     # public kernel-strategy knobs (options.KernelOptions, env overrides
     # already folded in); None until a Renderer attaches them
     kernel_options: object = None
@@ -211,5 +215,6 @@ def upload_scene(cs: CompiledScene, bvh=None, sharding=None):
         bvh_root=int(bvh.root) if bvh is not None else 0,
         use_fat_shading=cs.shade_rows is not None,
         sph_prefix=int(getattr(cs, "sph_prefix", 0)),
+        tri_cluster_g=int(getattr(cs, "tri_cluster_g", 0)),
     )
     return arrays, static

@@ -300,7 +300,12 @@ class Renderer:
         # parity mode); small soups are faster as a dense sweep, and the
         # analytic-sphere path needs no structure at all.
         if use_bvh == "auto":
-            use_bvh = compiled.num_triangles > 8192
+            # the megakernel's tri-gather sweep covers clustered scenes
+            # up to its 128x128 gather-table gate; beyond that the BVH
+            # wavefront is the only structure that scales
+            tri_fast_max = (16384 if getattr(compiled, "tri_cluster_g", 0)
+                            else 8192)
+            use_bvh = compiled.num_triangles > tri_fast_max
         if use_bvh and compiled.num_triangles > 0:
             from ..models.bvh_build import build_bvh, build_bvh_sah, permute_soup
 

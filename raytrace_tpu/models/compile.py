@@ -195,6 +195,11 @@ class CompiledScene:
     # for the megakernel's selective sweep.  0 = unordered.
     sph_prefix: int = 0
 
+    # --- triangle-block layout (models/sphere_order.py) ---
+    # Triangles grouped into greedy spatial clusters of this size for the
+    # megakernel's tri-gather sweep.  0 = file order (dense sweep).
+    tri_cluster_g: int = 0
+
 
 def _resolve_texture_registries(scene: SceneFile):
     """Build texture registries in scene-file order and a name resolver.
@@ -590,7 +595,8 @@ def compile_scene(scene: SceneFile, width: Optional[int] = None,
 
     # Spatial sphere ordering for the megakernel's selective sweep
     # (image-invariant: sphere ids are internal).
-    from .sphere_order import apply_sphere_order
+    from .sphere_order import apply_sphere_order, apply_triangle_order
 
     apply_sphere_order(cs)
+    apply_triangle_order(cs)
     return cs

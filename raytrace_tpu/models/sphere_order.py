@@ -202,6 +202,92 @@ def _group_order(c_w: np.ndarray, r_w: np.ndarray,
     return min(cands, key=lambda o: _cluster_hsa(c_w, r_w, o, group))
 
 
+#: default triangles per cluster for the tri-gather sweep; doubled until
+#: the cluster count fits the 128-wide gather table (cap: effective 128,
+#: i.e. 16384 triangles).
+_TRI_GROUP = 16
+
+#: triangle count below which the dense megakernel sweep stays (keeps
+#: small scenes unpermuted — identical tie-breaks, identical goldens).
+_TRI_MIN = 512
+
+
+def effective_tri_g(n_tris: int, g0: int = _TRI_GROUP) -> int:
+    """The cluster size the tri-gather sweep will use: doubled until the
+    cluster count fits the 128-wide lane-gather table (cap 128)."""
+    G = g0
+    while -(-n_tris // G) > 128 and G < 128:
+        G *= 2
+    return G
+
+
+def triangle_cluster_order(tri_p, insts, inst_t0, inst_t1, num_tris: int,
+                           g0: int = 0):
+    """Permutation + cluster size for the triangle block.
+
+    tri_p: [T_pad, 3, 3] object-space vertices; insts: [T_pad] instance
+    ids.  Returns (perm over the REAL triangles, G) or (None, 0) when
+    clustering can't help (few triangles) or can't fit (too many for the
+    gather table even at G=128).
+
+    The role matches the reference's driver-built triangle BLAS
+    (acceleration.rs:268-294) the same way the sphere ordering does:
+    proximity in the table replaces proximity in a tree, and the
+    megakernel's AABB slab pretest + per-lane gather rounds
+    (ops/megakernel._sweep_tri_gather) replace the RT-core traversal of
+    ray_gen.glsl:467-478.
+    """
+    n = num_tris
+    min_n = int(os.environ.get("MEGA_TRI_MIN", _TRI_MIN) or _TRI_MIN)
+    if n < max(min_n, 2):
+        return None, 0
+
+    if not g0:
+        g0 = int(os.environ.get("MEGA_TRI_G", _TRI_GROUP) or _TRI_GROUP)
+    G = effective_tri_g(n, g0)
+    if -(-n // G) > 128:
+        return None, 0
+
+    from .bvh_build import _instance_matrix_at
+
+    mats = _instance_matrix_at(inst_t0, inst_t1, 0.5)     # [I,3,4] f64
+    m = mats[np.asarray(insts[:n])]
+    v = np.asarray(tri_p[:n], np.float64)                  # [n,3,3]
+    w = np.einsum("sij,svj->svi", m[:, :, :3], v) + m[:, None, :, 3]
+    c_w = w.mean(axis=1)                                   # [n,3] centroids
+    r_w = np.linalg.norm(w - c_w[:, None, :], axis=2).max(axis=1)
+
+    return _group_order(c_w, r_w, G).astype(np.int32), G
+
+
+def apply_triangle_order(cs) -> None:
+    """Reorder the triangle block of a CompiledScene in place.
+
+    Sets cs.tri_cluster_g (0 = dense order kept).  Triangle ids are
+    internal, so the permutation is image-invariant up to exact-t
+    tie-breaks; every per-triangle array (geometry, attributes, shading
+    rows) is permuted consistently.  Skipped for small scenes so shipped
+    goldens keep the file-order dense sweep bit-for-bit.
+    """
+    perm, G = triangle_cluster_order(
+        cs.tri_p, cs.tri_inst, cs.inst_t0, cs.inst_t1, cs.num_triangles,
+    )
+    if perm is None:
+        cs.tri_cluster_g = 0
+        return
+    n = cs.num_triangles
+    for name in ("tri_p", "tri_n", "tri_uv", "tri_inst",
+                 "tri_mat_type", "tri_mat_index"):
+        a = getattr(cs, name)
+        a[:n] = a[:n][perm]
+    if cs.shade_rows is not None:
+        s_pad = cs.sph_center.shape[0]
+        cs.shade_rows[s_pad:s_pad + n] = cs.shade_rows[s_pad:s_pad + n][perm]
+    # per-mesh soup offsets no longer delimit contiguous runs
+    cs.mesh_tri_offsets = None
+    cs.tri_cluster_g = G
+
+
 def apply_sphere_order(cs) -> None:
     """Reorder the sphere block of a CompiledScene in place (pre-shade_rows).
 

@@ -212,6 +212,18 @@ class MegaConfig:
     # 44:48 slots under the same condition so the XLA wavefront computes
     # the identical normal (bitwise kernel parity preserved).
     direct_normals: bool = False
+    # Tri-gather sweep: triangles grouped into contiguous spatial
+    # clusters of tri_g (models/sphere_order.apply_triangle_order), AABB
+    # slab pretest over [128, 1024] + per-lane candidate rounds that
+    # fetch each cluster's triangles with lane gathers — the same
+    # sub-linear machinery as the sphere gather sweep, and bit-exact vs
+    # the dense scalar tri sweep over the SAME (permuted) table.  The
+    # TPU answer to the reference's triangle BLAS traversal
+    # (acceleration.rs:268-294, ray_gen.glsl:467-478).  Requires
+    # n_tclusters <= 128 (gather table width).
+    tri_gather: bool = False
+    tri_g: int = 16
+    n_tclusters: int = 0
 
 
 def _fetch_rows(rowsT_ref, prim, P: int, layout):
@@ -1160,8 +1172,165 @@ def _sweep_mxu(cfg: MegaConfig, sphT_ref, o: V3, d: V3,
             jnp.where(better, bid_m, bid))
 
 
+def _sweep_tri_gather(cfg: MegaConfig, tsieveT_ref, tw_ref, triG_ref,
+                      o: V3, d: V3, active, bt, bid, bu, bv, tpx, tpy, tpz,
+                      nzero):
+    """Cluster-selective triangle sweep — sub-linear AND bit-exact.
+
+    tsieveT_ref [128, 8]: per-cluster AABBs (mn xyz | mx xyz) of the
+    contiguous tri_g-triangle clusters laid out by
+    models/sphere_order.apply_triangle_order.  One conservative slab
+    pretest over [128, 1024] builds the per-lane candidate bitmask
+    (reduced to packed words with the powers-of-two matmul); the rounds
+    then pop clusters in ascending id order and run the dense tri
+    sweep's EXACT Moller-Trumbore op order on lane-gathered f32 fields,
+    so results are bit-identical to the dense scalar sweep over the
+    same (permuted) table.  bt arrives seeded by the sphere sweep, so
+    the pretest's t-prune already skips clusters behind a sphere hit.
+
+    This is the megakernel's answer to the reference's triangle BLAS
+    (acceleration.rs:268-294 + ray_gen.glsl:467-478): table proximity +
+    slab pretest replace the RT-core BVH, sized for 10k-class OBJ
+    meshes the dense sweep can't reach."""
+    C = cfg.n_tclusters
+    G = cfg.tri_g
+    n_words = -(-C // 32)
+    izero = nzero.astype(jnp.int32)
+    active_f = _flat_row(active.astype(jnp.float32))
+    tags = set(cfg.ablate.split(","))
+
+    # AABB slab pretest (same conservative form as the sphere box
+    # pretest; see _sweep_sieve's use_box branch for the eps/NaN notes).
+    eps = jnp.float32(1e-30)
+
+    def ivc(dx):
+        return 1.0 / jnp.where(jnp.abs(dx) < eps,
+                               jnp.where(dx < 0, -eps, eps), dx)
+
+    te = None
+    tx = None
+    for ax, (oA, dA) in enumerate(((o.x, d.x), (o.y, d.y), (o.z, d.z))):
+        oA_f = _flat_row(oA)
+        ivA = ivc(_flat_row(dA))
+        a0 = (tsieveT_ref[:, ax:ax + 1] - oA_f) * ivA      # [128, 1024]
+        a1 = (tsieveT_ref[:, 3 + ax:4 + ax] - oA_f) * ivA
+        tn = jnp.minimum(a0, a1)
+        tf = jnp.maximum(a0, a1)
+        te = tn if te is None else jnp.maximum(te, tn)
+        tx = tf if tx is None else jnp.minimum(tx, tf)
+    bt_f = _flat_row(bt)
+    sel = (te <= tx) & (tx > T_MIN) & (te < bt_f * 1.0001 + 1e-4)
+
+    # powers-of-two matmul -> packed int32 mask words (columns >= C are
+    # zero in tw_ref, so empty/padding clusters never get a bit — that
+    # masking is load-bearing, as in the sphere pack).
+    mask_f = sel.astype(jnp.float32) * active_f            # [128, 1024]
+    words16 = jax.lax.dot_general(
+        tw_ref[:], mask_f, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)                # [8, 1024]
+    masks = []
+    for w in range(n_words):
+        lo = _unflat_row(words16[2 * w:2 * w + 1]).astype(jnp.int32)
+        hi = _unflat_row(words16[2 * w + 1:2 * w + 2]).astype(jnp.int32)
+        masks.append(lo | (hi << 16))
+
+    def fetch(f, ci):
+        row = jnp.broadcast_to(triG_ref[f:f + 1, :], (SUB, 128))
+        return jnp.take_along_axis(row, ci, axis=1)
+
+    def rbody(i, carry):
+        bt, bid, bu, bv, tpx, tpy, tpz, *ms = carry
+        ci = izero
+        taken = izero == 1  # all-false
+        new_ms = []
+        for w in range(n_words):
+            m = ms[w]
+            has = (m != 0) & ~taken
+            b = m & -m
+            idx = jax.lax.population_count(b - 1) + (32 * w)
+            ci = jnp.where(has, idx, ci)
+            new_ms.append(jnp.where(has, m ^ b, m))
+            taken = taken | has
+        pending = taken
+
+        base = ci * G
+        for s in range(G):
+            v0x = fetch(9 * s + 0, ci)
+            v0y = fetch(9 * s + 1, ci)
+            v0z = fetch(9 * s + 2, ci)
+            e1x = fetch(9 * s + 3, ci)
+            e1y = fetch(9 * s + 4, ci)
+            e1z = fetch(9 * s + 5, ci)
+            e2x = fetch(9 * s + 6, ci)
+            e2y = fetch(9 * s + 7, ci)
+            e2z = fetch(9 * s + 8, ci)
+            # dense tri sweep's exact op order (padding triangles are
+            # degenerate — e1 = e2 = 0 gives det == 0, the same
+            # exclusion the dense sweep's `valid` flag provides)
+            px = d.y * e2z - d.z * e2y
+            py = d.z * e2x - d.x * e2z
+            pz = d.x * e2y - d.y * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(det != 0.0,
+                                1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+            ox = o.x - v0x
+            oy = o.y - v0y
+            oz = o.z - v0z
+            uu = (ox * px + oy * py + oz * pz) * inv_det
+            qx = oy * e1z - oz * e1y
+            qy = oz * e1x - ox * e1z
+            qz = ox * e1y - oy * e1x
+            vv = (d.x * qx + d.y * qy + d.z * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ((det != 0.0) & (uu >= 0.0) & (vv >= 0.0)
+                  & (uu + vv <= 1.0) & (t > T_MIN) & (t < T_MAX))
+            t = jnp.where(ok, t, T_MAX)
+            better = pending & (t < bt)
+            bt = jnp.where(better, t, bt)
+            bid = jnp.where(better, cfg.s_pad + base + s, bid)
+            bu = jnp.where(better, uu, bu)
+            bv = jnp.where(better, vv, bv)
+            tpx = jnp.where(better, v0x + uu * e1x + vv * e2x, tpx)
+            tpy = jnp.where(better, v0y + uu * e1y + vv * e2y, tpy)
+            tpz = jnp.where(better, v0z + uu * e1z + vv * e2z, tpz)
+        return tuple([bt, bid, bu, bv, tpx, tpy, tpz] + new_ms)
+
+    carry0 = tuple([bt, bid, bu, bv, tpx, tpy, tpz] + masks)
+    merge = lambda c: c[:7]
+    cnt = izero
+    for m in masks:
+        cnt = cnt + jax.lax.population_count(m)
+    if "trinorounds" in tags:  # perf triage: pretest cost only
+        return (bt, bid + jnp.minimum(cnt, 1) * 0, bu, bv, tpx, tpy, tpz)
+    blk = [t_ for t_ in tags if t_.startswith("blockfori")]
+    if blk:
+        k = int(blk[0].split(":")[1]) if ":" in blk[0] else 4
+
+        def blkbody(i, c):
+            for j in range(k):
+                c = rbody(i * k + j, c)
+            return c
+
+        trip = (jnp.max(cnt) + (k - 1)) // k
+        return merge(jax.lax.fori_loop(0, trip, blkbody, carry0))
+    out_bw = _blocked_while(tags, carry0, rbody, merge, 7, None)
+    if out_bw is not None:
+        return out_bw
+    n_un = cfg.rounds_unroll
+    if n_un:
+        carry = carry0
+        for r in range(n_un):
+            carry = rbody(r, carry)
+        residual = jnp.maximum(jnp.max(cnt) - n_un, 0)
+        return merge(jax.lax.fori_loop(0, residual, rbody, carry))
+    n_rounds = jnp.max(cnt)
+    return merge(jax.lax.fori_loop(0, n_rounds, rbody, carry0))
+
+
 def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref,
-           clu_ref, tri_ref, o: V3, d: V3, active, nzero):
+           clu_ref, tri_ref, tsieveT_ref, tw_ref, triG_ref,
+           o: V3, d: V3, active, nzero):
     """Closest hit: scalar-loop sweep over SMEM tables, unrolled x8.
 
     With use_mxu_sweep the sphere block goes through _sweep_mxu (dot
@@ -1246,7 +1415,11 @@ def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref,
 
             bt, bid = jax.lax.fori_loop(0, S8 // 8, sph_chunk, (bt, bid))
 
-    if cfg.n_tris:
+    if cfg.n_tris and cfg.tri_gather:
+        bt, bid, bu, bv, tpx, tpy, tpz = _sweep_tri_gather(
+            cfg, tsieveT_ref, tw_ref, triG_ref, o, d, active,
+            bt, bid, bu, bv, tpx, tpy, tpz, nzero)
+    elif cfg.n_tris:
         T8 = -(-cfg.n_tris // 8) * 8
 
         def tri_chunk(ci, carry):
@@ -1393,7 +1566,8 @@ def _rowsT_m8(cfg: MegaConfig) -> int:
 
 
 def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
-                 bnd_ref, clu_ref, tri_ref, rowsT_ref, o2w_ref, light_ref,
+                 bnd_ref, clu_ref, tri_ref, tsieveT_ref, tw_ref, triG_ref,
+                 rowsT_ref, o2w_ref, light_ref,
                  pix_ref, rx_ref, ry_ref, rz_ref, tr_ref, it_ref,
                  ti_ref=None, *, cfg: MegaConfig, interpret_trig=False):
     """Persistent-lane path tracer: one lane owns q_pix PIXELS and traces
@@ -1495,7 +1669,7 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
 
         bt, prim, is_sphere, bu, bv, tp = _sweep(
             cfg, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref, clu_ref,
-            tri_ref, ray_o, ray_d,
+            tri_ref, tsieveT_ref, tw_ref, triG_ref, ray_o, ray_d,
             active, nzero)
         missed = bt >= T_MAX
         acc = vec3.where(active & missed, acc + thr * bg, acc)
@@ -1919,8 +2093,56 @@ def build_mega_tables(cfg, static, scene, geom):
     o2w = geom.inst_o2w_rows
     if not cfg.has_lights:
         o2w = jnp.zeros((8, 12), jnp.float32)
+
+    tri_smem = geom.tri_table16
+    if cfg.tri_gather:
+        # Tri-gather tables: cluster AABBs for the slab pretest, the
+        # [9G-rows, 128] lane-gather fetch table, and the mask-pack
+        # weights.  The full tri table leaves SMEM (the dense sweep is
+        # compiled out; SMEM charges ~64B/scalar).
+        Ct, Gt = cfg.n_tclusters, cfg.tri_g
+        take = min(Ct * Gt, tri_smem.shape[0])
+        grid = tri_smem[:take, 0:10]
+        pad = Ct * Gt - grid.shape[0]
+        if pad > 0:
+            grid = jnp.concatenate(
+                [grid, jnp.zeros((pad, 10), jnp.float32)], axis=0)
+        g = grid.reshape(Ct, Gt, 10)
+        v0 = g[..., 0:3]
+        p1 = v0 + g[..., 3:6]
+        p2 = v0 + g[..., 6:9]
+        valid = g[..., 9:10] > 0.0
+        mn = jnp.min(jnp.where(valid, jnp.minimum(jnp.minimum(v0, p1), p2),
+                               BIGF), axis=1)
+        mx = jnp.max(jnp.where(valid, jnp.maximum(jnp.maximum(v0, p1), p2),
+                               -BIGF), axis=1)
+        ipad = 1e-5 + 1e-5 * jnp.maximum(jnp.abs(mn), jnp.abs(mx))
+        anyv = valid[:, :, 0].any(axis=1, keepdims=True)
+        mn = jnp.where(anyv, mn - ipad, BIGF)
+        mx = jnp.where(anyv, mx + ipad, -BIGF)
+        tsieveT = jnp.zeros((128, 8), jnp.float32)
+        tsieveT = tsieveT.at[:, 0:3].set(BIGF).at[:, 3:6].set(-BIGF)
+        tsieveT = tsieveT.at[:Ct, 0:3].set(mn).at[:Ct, 3:6].set(mx)
+
+        fields = grid[:, 0:9].reshape(Ct, Gt * 9).T          # [9G, Ct]
+        rows9g = -(-(9 * Gt) // 8) * 8
+        triG = jnp.zeros((rows9g, 128), jnp.float32)
+        triG = triG.at[:9 * Gt, :Ct].set(fields)
+
+        tw_np = np.zeros((8, 128), np.float32)
+        for ci in range(Ct):
+            word, bit = divmod(ci, 32)
+            tw_np[2 * word + (1 if bit >= 16 else 0), ci] = float(
+                1 << (bit % 16))
+        tw_tbl2 = jnp.asarray(tw_np)
+        tri_smem = tri_smem[:8]
+    else:
+        tsieveT = jnp.zeros((8, 8), jnp.float32)
+        triG = jnp.zeros((8, 128), jnp.float32)
+        tw_tbl2 = jnp.zeros((8, 128), jnp.float32)
+
     return (rowsT, sph_smem, sphT, sieveT, w_tbl, bounds, cluT,
-            geom.tri_table16, o2w, light)
+            tri_smem, tsieveT, tw_tbl2, triG, o2w, light)
 
 
 @functools.partial(
@@ -1928,8 +2150,8 @@ def build_mega_tables(cfg, static, scene, geom):
     static_argnames=("cfg", "n_cells", "interpret"),
 )
 def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
-                  sph, sphT, sieveT, w_tbl, bnd, clu, tri, o2w, light,
-                  pix_tbl, interpret=False):
+                  sph, sphT, sieveT, w_tbl, bnd, clu, tri, tsieveT, tw_tbl,
+                  triG, o2w, light, pix_tbl, interpret=False):
     """One pallas_call over n_cells grid cells (n_cells*1024 rays).
 
     Returns (rad V3 of [n_cells*1024], traced [n_cells*1024])."""
@@ -1961,6 +2183,12 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
             pl.BlockSpec(clu.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),            # cluster fetch
             smem(),                                           # tris [T8,16]
+            pl.BlockSpec(tsieveT.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # tri clusters
+            pl.BlockSpec(tw_tbl.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # tri mask wts
+            pl.BlockSpec(triG.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # tri fetch
             pl.BlockSpec((_rowsT_m8(cfg), cfg.P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),            # rowsT (compact)
             smem(),                                           # o2w [I,12]
@@ -1974,8 +2202,8 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
                    jax.ShapeDtypeStruct((n_cells * SUB, 128), jnp.float32)]
                   + extra_shape,
         interpret=interpret,
-    )(cam_tbl, params, sph, sphT, sieveT, w_tbl, bnd, clu, tri, rowsT,
-      o2w, light, pix_tbl)
+    )(cam_tbl, params, sph, sphT, sieveT, w_tbl, bnd, clu, tri, tsieveT,
+      tw_tbl, triG, rowsT, o2w, light, pix_tbl)
     rx, ry, rz, tr, it = outs[:5]
     flatq = lambda x: x.reshape(n_cells * Q * CELL)
     ti = flatq(outs[5]) if cfg.item_mode else None
@@ -2049,7 +2277,10 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     use_bands = opts.bands if opts.bands is not None else False
     bal = opts.balance
     balance = ("idle" if bal is True else bal) if bal else ""
-    use_box = opts.box if opts.box is not None else False
+    # AABB slab pretest: measured default ON (round-4 on-chip ablation:
+    # 3.14 vs 3.55 us/cell-iter on final-one-weekend at G=4, 5.46 vs
+    # 6.37 at S=1940 combined with blockfori:4).
+    use_box = opts.box if opts.box is not None else True
     if balance == "pair":
         # pair mode owns the candidate ordering: bands reshuffle masks
         # mid-sweep, which the rank-parity split predates.  Culling IS
@@ -2061,6 +2292,16 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     ablate = opts.ablate
     if opts.schedule != "auto":
         ablate = ",".join(t for t in (ablate, opts.schedule) if t)
+    elif (use_gather and opts.rounds_unroll is None
+          and not any(t.startswith(("blockfori", "blockwhile", "unroll",
+                                    "fixrounds", "norounds"))
+                      for t in ablate.split(","))):
+        # Measured round-4 default: blocked counted trip beats the
+        # unroll+residual structure (box-bf4 2.70 vs box 3.14 vs default
+        # 3.55 us/cell-iter on final-one-weekend; tools_dev/sweep_bench
+        # 2026-08-18).  An explicit rounds_unroll or a triage tag keeps
+        # the legacy structure so ablations measure what they name.
+        ablate = ",".join(t for t in (ablate, "blockfori:4") if t)
     if rounds_unroll == 0 and not any(
             t.startswith("blockwhile") for t in ablate.split(",")):
         # cull points exist only between unrolled rounds or at blockwhile
@@ -2107,6 +2348,12 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         use_balance=balance if use_gather else "",
         use_box=use_box and (use_gather or use_sieve),
         direct_normals=bool(static.sphere_world_mode) and not item_mode,
+        tri_gather=bool(static.tri_cluster_g > 0
+                        and static.num_triangles > 0),
+        tri_g=max(1, int(static.tri_cluster_g)),
+        n_tclusters=(-(-int(static.num_triangles)
+                       // max(1, int(static.tri_cluster_g)))
+                     if static.tri_cluster_g > 0 else 0),
         ablate=ablate,
     )
 
@@ -2124,7 +2371,8 @@ def megakernel_supported(static, compiled=None) -> bool:
         return False
     if static.has_spheres and not static.sphere_world_mode:
         return False
-    if static.num_spheres > 4096 or static.num_triangles > 2048:
+    tri_max = 16384 if static.tri_cluster_g > 0 else 2048
+    if static.num_spheres > 4096 or static.num_triangles > tri_max:
         return False
     if static.has_lights and static.num_instances > 64:
         return False
@@ -2276,11 +2524,12 @@ def render_tile_mega(
                           constant_values=n_items)
     pix_tbl2 = pix_tbl.reshape(n_cells * q_pix * SUB, 128)
 
-    (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, o2w,
-     light) = build_mega_tables(cfg, static, scene, geom)
+    (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, tsieveT, tw_tbl,
+     triG, o2w, light) = build_mega_tables(cfg, static, scene, geom)
     psum, traced, iters, ti = mega_dispatch(
         cfg, n_cells, cam_tbl, params, rowsT, sph, sphT, sieveT, w_tbl,
-        bnd, clu, tri, o2w, light, pix_tbl2, interpret=interpret,
+        bnd, clu, tri, tsieveT, tw_tbl, triG, o2w, light, pix_tbl2,
+        interpret=interpret,
     )
     rays_traced = jnp.sum(traced)
 

@@ -51,14 +51,15 @@ def main():
     params = params.at[0, 6].set(cam.aperture_size)
     sky = scene.sky_top * (1.0 - scene.sky_factor) + scene.sky_bottom * scene.sky_factor
     params = params.at[0, 2:5].set(sky)
-    (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, o2w,
+    (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, tsv, tw, trg, o2w,
      light) = mk.build_mega_tables(cfg, static, scene, geom)
     import jax.lax
     pix_tbl = jax.lax.iota(jnp.int32, n_cells * 1024).reshape(n_cells * 8, 128)
 
     f = lambda prm: mk.mega_dispatch(cfg, n_cells, cam_tbl, prm, rowsT,
                                      sph, sphT, sieveT, w_tbl, bnd, clu,
-                                     tri, o2w, light, pix_tbl)[:2]
+                                     tri, tsv, tw, trg, o2w, light,
+                                     pix_tbl)[:2]
     t0 = time.time()
     rad, tr = f(params)
     jax.block_until_ready(tr)

@@ -180,12 +180,13 @@ def main():
         cfg = dataclasses.replace(cfg, max_depth=depth,
                                   n_pix=pix_base + n_cells * 1024)
         tabs = mk.build_mega_tables(cfg, static, scene, geom)
-        (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, o2w, light) = tabs
+        (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, tsv, tw,
+         trg, o2w, light) = tabs
 
         def f(prm):
             rad, tr, iters, _ti = mk.mega_dispatch(
                 cfg, n_cells, cam_tbl, prm, rowsT, sph, sphT, sieveT,
-                w_tbl, bnd, clu, tri, o2w, light, pix_tbl)
+                w_tbl, bnd, clu, tri, tsv, tw, trg, o2w, light, pix_tbl)
             return rad, tr, iters
 
         N = 6
