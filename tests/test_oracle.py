@@ -7,10 +7,17 @@ is the stand-in for "pixel RMSE < 1e-3 vs the reference render"
 whole-pipeline bias would show up as a channel-mean disagreement far
 above Monte-Carlo noise.
 
-Tolerances: the channel-mean standard error at these sample counts is
-~1e-3 (measured); bounds are ~3 sigma.  Per-pixel RMSE is dominated by
-MC noise of BOTH renderers and only guards against gross structural
-disagreement (wrong geometry/normals/camera)."""
+Coverage spans every shipped scene family: diffuse / NEE+MIS (cornell,
+quads), checker + noise + image textures, thin-lens DOF
+(final-one-weekend, ray_gen.glsl:543-571 quirk), and motion blur
+(earth-motion-blur, animated slerp at the engine's own batch ray times).
+
+Gates:
+- channel means: ~3 sigma of the measured MC standard error.
+- downsampled pixel RMSE (block-averaged): catches compensating
+  spatial errors channel means can hide (round-3 verdict weak #4) while
+  staying above the per-pixel MC noise floor of both renderers.
+"""
 
 import os
 import sys
@@ -24,6 +31,7 @@ from conftest import reference_asset
 from oracle_tracer import render_oracle
 
 from raytrace_tpu.engine import Renderer
+from raytrace_tpu.engine.renderer import get_batch_ray_times
 from raytrace_tpu.models import compile_scene
 from raytrace_tpu.scene_file import SceneFile
 
@@ -37,22 +45,48 @@ def _engine_render(name, w, h, spp, batches, depth):
     return Renderer(cs).render_all()
 
 
+def _down(img, k):
+    """Block-average downsample by k in both axes (trims remainder)."""
+    h, w = img.shape[0] // k * k, img.shape[1] // k * k
+    return img[:h, :w].reshape(h // k, k, w // k, k, 3).mean(axis=(1, 3))
+
+
 CASES = [
-    # name, W, H, oracle_spp, engine (spp, batches), depth, mean_tol, rmse_tol
-    # quads is the fast-set case (cheapest oracle); the sphere and NEE
-    # cases run in the slow sweep (`pytest -m ""`).
+    # name, W, H, oracle_spp, engine (spp, batches), depth,
+    #   mean_tol, rmse_tol, (down_k, down_tol), times
+    # quads + earth are the fast-set cases (cheapest oracle+engine);
+    # the rest run in the slow sweep (`pytest -m ""`).
     pytest.param("diffuse-spheres.json", 48, 27, 384, (16, 24), 10, 4e-3,
-                 0.02, marks=pytest.mark.slow),
-    ("quads.json", 32, 32, 384, (16, 16), 6, 4e-3, 0.03),
+                 0.02, (3, 8e-3), None, marks=pytest.mark.slow),
+    ("quads.json", 32, 32, 384, (16, 16), 6, 4e-3, 0.03, (4, 9e-3), None),
     pytest.param("cornell-box.json", 32, 32, 512, (64, 8), 8, 6e-3, 0.12,
-                 marks=pytest.mark.slow),
+                 (4, 0.03), None, marks=pytest.mark.slow),
+    # Checker texture (world-position parity, ray_gen.glsl:214-239).
+    pytest.param("checkered-spheres.json", 48, 27, 256, (16, 16), 8, 5e-3,
+                 0.04, (3, 0.012), None, marks=pytest.mark.slow),
+    # Noise texture (in-kernel Perlin turbulence, perlin.glsl).
+    pytest.param("perlin-spheres.json", 48, 27, 128, (16, 8), 6, 7e-3,
+                 0.16, (3, 0.05), None, marks=pytest.mark.slow),
+    # Image texture: sRGB-decoded atlas, nearest+repeat, analytic
+    # sphere UV (mesh.rs:155-179 parameterization inverted).
+    ("earth.json", 32, 32, 256, (16, 16), 6, 2e-3, 0.015, (4, 5e-3), None),
+    # Thin-lens DOF (aperture 0.2; the NDC-scaled lens-offset quirk).
+    pytest.param("final-one-weekend.json", 48, 27, 96, (16, 12), 8, 4e-3,
+                 0.04, (3, 0.012), None, marks=pytest.mark.slow),
+    # Motion blur: animated rotation slerp integrated at the engine's
+    # own per-batch ray times (mesh_instance.rs:51-59 semantics).
+    pytest.param("earth-motion-blur.json", 32, 32, 24, (8, 8), 6, 3e-3,
+                 0.025, (4, 8e-3), "batch", marks=pytest.mark.slow),
 ]
 
 
-@pytest.mark.parametrize("name,w,h,ospp,espp,depth,mean_tol,rmse_tol", CASES)
-def test_oracle_agreement(name, w, h, ospp, espp, depth, mean_tol, rmse_tol):
+@pytest.mark.parametrize(
+    "name,w,h,ospp,espp,depth,mean_tol,rmse_tol,down,times", CASES)
+def test_oracle_agreement(name, w, h, ospp, espp, depth, mean_tol,
+                          rmse_tol, down, times):
+    tms = list(get_batch_ray_times(espp[1])) if times == "batch" else None
     oi = render_oracle(reference_asset(name), w, h, spp=ospp,
-                       max_depth=depth)
+                       max_depth=depth, times=tms)
     ei = _engine_render(name, w, h, espp[0], espp[1], depth)
     assert np.isfinite(oi).all() and np.isfinite(ei).all()
     mean_diff = np.abs(oi.mean(axis=(0, 1)) - ei.mean(axis=(0, 1)))
@@ -60,3 +94,9 @@ def test_oracle_agreement(name, w, h, ospp, espp, depth, mean_tol, rmse_tol):
         f"channel-mean bias {mean_diff} vs oracle — systematic error?")
     rmse = float(np.sqrt(((oi - ei) ** 2).mean()))
     assert rmse < rmse_tol, f"structural disagreement: rmse {rmse}"
+    k, dtol = down
+    drmse = float(np.sqrt(((_down(oi, k) - _down(np.asarray(ei), k)) ** 2)
+                          .mean()))
+    assert drmse < dtol, (
+        f"downsampled (k={k}) pixel RMSE {drmse} — spatial bias above "
+        f"the MC noise floor")
