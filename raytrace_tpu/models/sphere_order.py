@@ -93,7 +93,11 @@ def effective_cluster_g(n_local: int, g0: int = _GROUP) -> int:
     measured half-surface-area 3135 vs 6656 at S=1940 (G=16) compared to
     merging four greedy-4 groups."""
     G = g0
-    while -(-n_local // G) > 128 and G < 64:
+    # Cap raised 64 -> 128 in round 4 with the 16384-sphere gate: the
+    # gather table addresses 128 clusters x G spheres, so G=128 is the
+    # last doubling that still fits a 16k scene (stress-bench verified
+    # bitwise vs the wavefront at that size, BENCH_STRESS.json).
+    while -(-n_local // G) > 128 and G < 128:
         G *= 2
     return G
 

@@ -2372,7 +2372,15 @@ def megakernel_supported(static, compiled=None) -> bool:
     if static.has_spheres and not static.sphere_world_mode:
         return False
     tri_max = 16384 if static.tri_cluster_g > 0 else 2048
-    if static.num_spheres > 4096 or static.num_triangles > tri_max:
+    # Sphere ceiling = the gather sweep's capacity: effective_cluster_g
+    # doubles G until the cluster count fits the 128-wide lane-gather
+    # table, so 128 clusters x G=128 = 16384 spheres is the most the
+    # fast path can address (gate raised from 4096 in round 4; measured
+    # on gen_stress tilings — see README scaling table).  Above the old
+    # 4096 the SMEM sphere table would blow the 1MB budget, but gather
+    # mode trims it (make_tables "SMEM diet"), which auto-resolution
+    # always picks at these sizes.
+    if static.num_spheres > 16384 or static.num_triangles > tri_max:
         return False
     if static.has_lights and static.num_instances > 64:
         return False

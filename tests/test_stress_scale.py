@@ -96,6 +96,35 @@ def test_effective_cluster_g_rule():
     assert effective_cluster_g(600) == 8
     assert effective_cluster_g(1936) == 16
     assert effective_cluster_g(484 * 16) == 64
+    # gather capacity ceiling: 128 clusters x G=128
+    assert effective_cluster_g(16384) == 128
+
+
+def test_sphere_gate_at_gather_capacity():
+    """The megakernel sphere gate (round 4: 4096 -> 16384) admits exactly
+    the scenes the gather sweep can address (128 clusters x G=128) and
+    resolves them onto the gather path with a trimmed SMEM table."""
+    import json
+
+    from tools_dev.gen_tri_stress import sphere_stress_doc
+    from raytrace_tpu.ops.megakernel import make_config, megakernel_supported
+
+    doc = sphere_stress_doc(6, cap=16384)
+    p = "/tmp/test-stress-16k.json"
+    json.dump(doc, open(p, "w"))
+    sf = SceneFile.load_json(p)
+    cs = compile_scene(sf, width=64)
+    assert cs.num_spheres == 16384
+    scene, static = upload_scene(cs)
+    static = dataclasses.replace(
+        static, use_pallas_sweep=True, sphere_world_mode=True,
+        pallas_interpret=True, kernel_options=KernelOptions())
+    assert megakernel_supported(static)
+    cfg = make_config(static, scene, False)
+    assert cfg.use_gather and cfg.clu_g == 128 and cfg.n_clusters <= 128
+    # one more sphere would overflow the gather table
+    over = dataclasses.replace(static, num_spheres=16385)
+    assert not megakernel_supported(over)
 
 
 @pytest.mark.slow

@@ -1,0 +1,138 @@
+"""On-chip stress bench for the raised megakernel gates (round 4):
+
+- tri-stress-15360: 16 OBJ sphere instances (15,360 tris) on the
+  tri-cluster gather path (the reference's driver-BLAS role,
+  acceleration.rs:268-294 / ray_gen.glsl:467-478).
+- stress-4x / 16k-spheres: final-one-weekend tiled to 1,940 and trimmed
+  to exactly 16,384 spheres — the gather sweep's capacity ceiling.
+
+Each row: steady Mrays/s (best of 3 warm fresh-renderer runs; tunnel
+RPC jitter filtered, see bench_scenes._render_warm) + a small-res
+bitwise parity check megakernel vs the XLA wavefront.  Writes
+BENCH_STRESS.json.
+
+    python tools_dev/bench_stress.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools_dev.gen_tri_stress import sphere_stress_doc, tri_stress_doc  # noqa: E402
+
+
+def _load(doc, tmp):
+    from raytrace_tpu.scene_file import SceneFile
+
+    json.dump(doc, open(tmp, "w"))
+    return SceneFile.load_json(tmp)
+
+
+def bench_scene(sf, width, spp, reps=3, batches=8, opts=None):
+    from raytrace_tpu.engine import Renderer
+    from raytrace_tpu.models import compile_scene
+
+    sf.render.samples_per_pixel = spp
+    # chunked like a production render (renderer fuses k batches per
+    # dispatch), matching how BENCH_SCENES rows amortize the tunnel cost
+    sf.render.sample_batches = batches
+    cs = compile_scene(sf, width=width)
+    r = Renderer(cs, kernel_options=opts)
+    t0 = time.perf_counter()
+    img = r.render_all()
+    cold_s = time.perf_counter() - t0
+    best = None
+    for _ in range(reps):
+        r2 = Renderer(cs, kernel_options=opts)
+        t0 = time.perf_counter()
+        r2.render_all()
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+
+    if opts is not None:
+        # ablation row: skip the parity render (the default row covers it)
+        return {
+            "width": cs.render.width, "height": cs.render.height,
+            "spp": spp, "num_spheres": cs.num_spheres,
+            "num_triangles": cs.num_triangles,
+            "cold_s": round(cold_s, 2), "warm_s": round(best, 3),
+            "steady_mrays": round(r2.stats.rays_traced / best / 1e6, 2),
+            "path": "megakernel" if r.static.use_megakernel else "wavefront",
+            "options": repr(r.static.kernel_options),
+        }
+    # Small-res parity: megakernel vs XLA wavefront.  Bitwise equality
+    # only holds in interpret mode (the CPU test suite); on hardware
+    # Mosaic and XLA lower transcendentals/fma differently, and one-ulp
+    # deltas steer a few Monte Carlo paths apart — so record diff stats
+    # and gate on channel means + the well-matched pixel fraction.
+    cs_s = compile_scene(sf, width=128)
+    rm = Renderer(cs_s, use_pallas_sweep=True)
+    rw = Renderer(cs_s, use_pallas_sweep=False)
+    im = np.asarray(rm.render_all())
+    iw = np.asarray(rw.render_all())
+    mean_diff = float(np.abs(im.mean(axis=(0, 1)) - iw.mean(axis=(0, 1))).max())
+    px_match = float((np.abs(im - iw).max(axis=-1) < 1e-3).mean())
+    return {
+        "width": cs.render.width,
+        "height": cs.render.height,
+        "spp": spp,
+        "num_spheres": cs.num_spheres,
+        "num_triangles": cs.num_triangles,
+        "cold_s": round(cold_s, 2),
+        "warm_s": round(best, 3),
+        "steady_mrays": round(r2.stats.rays_traced / best / 1e6, 2),
+        "rays": r2.stats.rays_traced,
+        "finite": bool(np.isfinite(img).all()),
+        "mean_rgb": [round(float(v), 6) for v in np.asarray(img).mean(axis=(0, 1))],
+        "path": "megakernel" if r.static.use_megakernel else "wavefront",
+        "parity_megakernel_taken": bool(rm.static.use_megakernel),
+        "parity_bitwise": bool(np.array_equal(im, iw)),
+        "parity_mean_diff": mean_diff,
+        "parity_px_match": round(px_match, 4),
+        "parity_ok": bool(mean_diff < 2e-3 and px_match > 0.95),
+        "options": repr(r.static.kernel_options),
+    }
+
+
+def main():
+    import jax
+
+    out = {"backend": jax.default_backend(), "scenes": {}}
+
+    from raytrace_tpu.options import KernelOptions
+
+    cull = KernelOptions(schedule="blockwhile:4", cull_every=1)
+    rows = [
+        ("tri-stress-15360", _load(tri_stress_doc(4), "/tmp/tri-stress.json"),
+         1024, 16, None),
+        ("stress-4x-1940sph", _load(sphere_stress_doc(2),
+                                    "/tmp/stress-4x.json"), 1024, 4, None),
+        ("stress-16384sph", _load(sphere_stress_doc(6, cap=16384),
+                                  "/tmp/stress-16k.json"), 1024, 4, None),
+        # blockwhile + per-block re-pretest culling: the regime the
+        # balance_sim predicts pays off exactly at stress scale
+        ("stress-4x-1940sph@blockwhile-cull",
+         _load(sphere_stress_doc(2), "/tmp/stress-4x.json"), 1024, 4, cull),
+        ("stress-16384sph@blockwhile-cull",
+         _load(sphere_stress_doc(6, cap=16384), "/tmp/stress-16k.json"),
+         1024, 4, cull),
+    ]
+    for name, sf, width, spp, opts in rows:
+        rec = bench_scene(sf, width, spp, opts=opts)
+        out["scenes"][name] = rec
+        print(name, json.dumps(rec))
+        sys.stdout.flush()
+
+    with open("BENCH_STRESS.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote BENCH_STRESS.json")
+
+
+if __name__ == "__main__":
+    main()
