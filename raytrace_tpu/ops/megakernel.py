@@ -2296,12 +2296,23 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
           and not any(t.startswith(("blockfori", "blockwhile", "unroll",
                                     "fixrounds", "norounds"))
                       for t in ablate.split(","))):
-        # Measured round-4 default: blocked counted trip beats the
-        # unroll+residual structure (box-bf4 2.70 vs box 3.14 vs default
-        # 3.55 us/cell-iter on final-one-weekend; tools_dev/sweep_bench
-        # 2026-08-18).  An explicit rounds_unroll or a triage tag keeps
-        # the legacy structure so ablations measure what they name.
-        ablate = ",".join(t for t in (ablate, "blockfori:4") if t)
+        # Measured round-4 defaults (tools_dev/sweep_bench +
+        # bench_stress, 2026-08-18), size-dependent:
+        # - small scenes: blocked counted trip beats the unroll+residual
+        #   structure (box-bf4 2.70 vs box 3.14 vs default 3.55
+        #   us/cell-iter on final-one-weekend, 484 local spheres);
+        # - stress scale: blockwhile + per-block re-pretest culling wins
+        #   (BENCH_STRESS: 83.0 vs 48.3 Mrays/s at 1,940 spheres, 30.6
+        #   vs 26.0 at 16,384) — exactly the regime the balance_sim
+        #   predicted, where whole blocks of candidate rounds go dead.
+        # An explicit rounds_unroll or a triage tag keeps the legacy
+        # structure so ablations measure what they name.
+        if n_local >= 1024:
+            ablate = ",".join(t for t in (ablate, "blockwhile:4") if t)
+            if opts.cull_every is None:
+                cull_every = 1
+        else:
+            ablate = ",".join(t for t in (ablate, "blockfori:4") if t)
     if rounds_unroll == 0 and not any(
             t.startswith("blockwhile") for t in ablate.split(",")):
         # cull points exist only between unrolled rounds or at blockwhile

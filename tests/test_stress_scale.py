@@ -122,6 +122,9 @@ def test_sphere_gate_at_gather_capacity():
     assert megakernel_supported(static)
     cfg = make_config(static, scene, False)
     assert cfg.use_gather and cfg.clu_g == 128 and cfg.n_clusters <= 128
+    # stress-scale schedule default: blockwhile + per-block cull
+    # (BENCH_STRESS 2026-08-18: 83 vs 48 Mrays/s at 1,940 spheres)
+    assert "blockwhile:4" in cfg.ablate and cfg.cull_every == 1
     # one more sphere would overflow the gather table
     over = dataclasses.replace(static, num_spheres=16385)
     assert not megakernel_supported(over)
