@@ -50,6 +50,22 @@ def get_batch_ray_times(sample_batches: int, seed: int = HOST_SEED) -> np.ndarra
     return np.asarray(out, np.float32)
 
 
+def _spheres_world_capable(compiled) -> bool:
+    """Cheap predicate for whether the world-space sphere path (and thus
+    the megakernel) can run: every sphere instance's transform must be
+    rigid + uniform scale at both keyframes (ops/spheres.
+    world_sphere_tables returns None otherwise)."""
+    n = compiled.num_spheres
+    if n == 0:
+        return True
+    si = compiled.sph_inst[:n]
+    for tt in (compiled.inst_t0, compiled.inst_t1):
+        sc = tt[si, 7:10]
+        if not np.allclose(sc, sc[:, :1], rtol=1e-5, atol=1e-7):
+            return False
+    return True
+
+
 @functools.lru_cache(maxsize=64)
 def _cached_prepare(static):
     from .wavefront import prepare_batch
@@ -300,11 +316,24 @@ class Renderer:
         # parity mode); small soups are faster as a dense sweep, and the
         # analytic-sphere path needs no structure at all.
         if use_bvh == "auto":
-            # the megakernel's tri-gather sweep covers clustered scenes
-            # up to its 128x128 gather-table gate; beyond that the BVH
-            # wavefront is the only structure that scales
-            tri_fast_max = (16384 if getattr(compiled, "tri_cluster_g", 0)
-                            else 8192)
+            # The megakernel's tri-gather sweep covers clustered scenes up
+            # to its 128x128 gather-table gate (16,384 tris) — but only
+            # when the megakernel will actually run.  On CPU (Pallas off)
+            # or when the scene fails the megakernel's other gates, scenes
+            # in the 8,193-16,384 range must keep the BVH: the dense O(T)
+            # wavefront sweep there is a large regression (ADVICE r4).
+            on_tpu_ = jax.default_backend() not in ("cpu",)
+            pallas_p = (use_pallas_sweep if use_pallas_sweep is not None
+                        else on_tpu_)
+            tri_fast_max = 8192
+            if (getattr(compiled, "tri_cluster_g", 0) and pallas_p
+                    and trace_builder is None
+                    and compiled.atlas.size == 0           # no image tex
+                    and compiled.num_spheres <= 16384
+                    and not (compiled.light_count > 0
+                             and compiled.num_instances > 64)
+                    and _spheres_world_capable(compiled)):
+                tri_fast_max = 16384
             use_bvh = compiled.num_triangles > tri_fast_max
         if use_bvh and compiled.num_triangles > 0:
             from ..models.bvh_build import build_bvh, build_bvh_sah, permute_soup

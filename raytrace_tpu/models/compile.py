@@ -182,7 +182,10 @@ class CompiledScene:
 
     # --- bookkeeping for tests / tooling ---
     mesh_names: List[str] = field(default_factory=list)
-    mesh_tri_offsets: Optional[np.ndarray] = None  # per-instance soup offsets
+    # Per-instance soup offsets.  INVALIDATED (set to None) once triangle
+    # clustering permutes the soup (sphere_order.apply_triangle_order):
+    # the offsets would no longer delimit contiguous per-mesh runs.
+    mesh_tri_offsets: Optional[np.ndarray] = None
 
     # --- pre-resolved per-primitive shading rows (models/shading_table.py)
     # Row i: sphere i; row S_pad + j: triangle j.  None when the material

@@ -1671,12 +1671,28 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
             cfg, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref, clu_ref,
             tri_ref, tsieveT_ref, tw_ref, triG_ref, ray_o, ray_d,
             active, nzero)
+        # Controlled profiling ("dup*" tags): run a stage a SECOND time on
+        # slightly perturbed input (defeats CSE) and fold its output into
+        # `iters` at ~1e-30 (defeats DCE, invisible in diagnostics).
+        # Unlike the "no*" stubs, control flow / iteration counts stay
+        # IDENTICAL to base, so t(dup) - t(base) is that stage's cost.
+        if "dupsweep" in tags:
+            o2 = V3(ray_o.x + 1e-12, ray_o.y, ray_o.z)
+            bt2, _, _, _, _, _ = _sweep(
+                cfg, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref, clu_ref,
+                tri_ref, tsieveT_ref, tw_ref, triG_ref, o2, ray_d,
+                active, nzero)
+            iters = iters + bt2 * 1e-30
         missed = bt >= T_MAX
         acc = vec3.where(active & missed, acc + thr * bg, acc)
         hit = active & ~missed
 
         slots = _fetch_rows(rowsT_ref, jnp.maximum(prim, 0),
                             cfg.P, layout)
+        if "duprows" in tags:
+            slots2 = _fetch_rows(rowsT_ref, jnp.maximum(prim, 0) + 1,
+                                 cfg.P, layout)
+            iters = iters + next(iter(slots2.values())) * 1e-30
         if "norows" in tags:   # perf triage: stub the one-hot row fetch
             slots = {j: nzero + 0.25 for j in slots}
         rows = _RowsT(slots)
@@ -1765,6 +1781,13 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
                 state, None, cfg.flags, rows, hp, normal, front,
                 nzero, nzero, ray_d,
             )
+        if "dupshade" in tags:
+            n2 = V3(normal.x + 1e-12, normal.y, normal.z)
+            _, srec2, emit2 = shading.scatter_and_emit_v3(
+                state, None, cfg.flags, rows, hp, n2, front,
+                nzero, nzero, ray_d,
+            )
+            iters = iters + (emit2.x + srec2.attenuation.x) * 1e-30
         acc = vec3.where(hit, acc + thr * emit, acc)
         scattered = hit & srec.is_scattered
 
@@ -1805,6 +1828,18 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
             ratio = jnp.where(scatter_pdf > 0.0, 1.0, 0.0)
             mis_thr = thr * srec.attenuation * ratio
             mis_dir = vec3.normalize(sdir)
+
+        if "dupnee" in tags:
+            dummy2 = nee.LightSampleV3(
+                position=V3(nzero + 1e-12, nzero, nzero),
+                normal=V3(nzero, nzero + 1.0, nzero))
+            _, chosen2 = nee.choose_mixture_pdf(
+                state2, srec.mat_pdf_type, cfg.has_lights)
+            _, sdir2 = nee.gen_scatter_direction_v3(
+                state2, chosen2, hp, normal, dummy2)
+            sp2 = nee.pdf_value_v3(
+                srec.mat_pdf_type, sdir2, normal, dummy2, nzero + 1.0)
+            iters = iters + (sdir2.x + sp2) * 1e-30
 
         new_thr = vec3.where(srec.skip_pdf, thr * srec.attenuation, mis_thr)
         new_dir = vec3.where(srec.skip_pdf, srec.skip_dir, mis_dir)
@@ -1855,6 +1890,17 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         state = jnp.where(active, state2, state)
 
         regen = (sample_over | jump) & (qi2 < Q)
+        if "dupregen" in tags:
+            _, rg_o2, rg_d2 = raygen(pix2 + 1, sip2)
+            iters = iters + (rg_o2.x + rg_d2.x) * 1e-30
+        if "dupflush" in tags:
+            for s in range(Q):
+                m = sample_over & (qi == s)
+                sl = slice(s * SUB, (s + 1) * SUB)
+                rx_ref[sl, :] += jnp.where(m, acc.x * 1e-30, 0.0)
+                ry_ref[sl, :] += jnp.where(m, acc.y * 1e-30, 0.0)
+                rz_ref[sl, :] += jnp.where(m, acc.z * 1e-30, 0.0)
+                tr_ref[sl, :] += m.astype(jnp.float32) * scnt * 1e-30
         if "noregen" in tags:  # perf triage: stub camera-ray regeneration
             rg_state, rg_o, rg_d = state, ray_o, ray_d
         else:
@@ -2387,11 +2433,27 @@ def megakernel_supported(static, compiled=None) -> bool:
     # doubles G until the cluster count fits the 128-wide lane-gather
     # table, so 128 clusters x G=128 = 16384 spheres is the most the
     # fast path can address (gate raised from 4096 in round 4; measured
-    # on gen_stress tilings — see README scaling table).  Above the old
-    # 4096 the SMEM sphere table would blow the 1MB budget, but gather
-    # mode trims it (make_tables "SMEM diet"), which auto-resolution
-    # always picks at these sizes.
-    if static.num_spheres > 16384 or static.num_triangles > tri_max:
+    # on gen_stress tilings — see README scaling table).  Above 4096 the
+    # full scalar sphere table would blow the 1MB SMEM budget; only
+    # gather mode trims it (build_mega_tables "SMEM diet"), so the raise
+    # applies only when the RESOLVED sweep is gather (ADVICE r4): an
+    # explicit sweep="scalar"/"mxu"/"sieve"/"selective", a missing
+    # cluster layout, or a cluster count past the 128-wide gather table
+    # keep the 4096 clamp.
+    sphere_max = 4096
+    ko = static.kernel_options
+    sweep = ko.sweep if ko is not None else "auto"
+    n_prefix = int(getattr(static, "sph_prefix", 0))
+    if n_prefix > 0 and sweep in ("auto", "gather"):
+        from ..models.sphere_order import effective_cluster_g
+
+        g0 = ko.cluster_g if (ko is not None
+                              and ko.cluster_g is not None) else 4
+        n_local = int(static.num_spheres) - n_prefix
+        g_eff = effective_cluster_g(n_local, g0)
+        if -(-n_local // g_eff) <= 128:
+            sphere_max = 16384
+    if static.num_spheres > sphere_max or static.num_triangles > tri_max:
         return False
     if static.has_lights and static.num_instances > 64:
         return False

@@ -148,6 +148,50 @@ def _turbulence(p, depth=7):
 
 # ----------------------------------------------------------------- scene
 
+def _uv_sphere_light_tris(center, radius, rings, segments):
+    """Object-space triangles of the reference's UV-sphere tessellation
+    (mesh.rs:155-258: pole rows have `segments` vertices with a du/2 u
+    shift; interior rows `segments + 1`; top/bottom fans + ring quads).
+    f32 vertex math like the engine's tessellator, promoted to f64.  Used
+    for the NEE light table only — the oracle still TRACES spheres
+    analytically."""
+    c = np.asarray(center, np.float32)
+    r = np.float32(radius)
+    du = np.float32(1.0) / np.float32(segments)
+    dv = np.float32(1.0) / np.float32(rings)
+    verts = []
+    for ring in range(rings + 1):
+        top_bot = ring == 0 or ring == rings
+        nseg = segments - 1 if top_bot else segments
+        shift_u = du / np.float32(2.0) if top_bot else np.float32(0.0)
+        for s in range(nseg + 1):
+            u = np.float32(s) * du + shift_u
+            v = np.float32(ring) * dv
+            theta = np.float32(2.0 * np.pi) * u
+            phi = np.float32(np.pi) * v
+            n = np.array([-np.sin(phi) * np.cos(theta),
+                          -np.cos(phi),
+                          np.sin(phi) * np.sin(theta)], np.float32)
+            verts.append(c + r * n)
+    idx = []
+    o1 = 0
+    o2 = segments
+    for ring in range(rings):
+        for s in range(segments):
+            if ring == 0:
+                idx += [o1 + s, o2 + s, o2 + s + 1]
+            elif ring < rings - 1:
+                idx += [o1 + s, o2 + s, o2 + s + 1,
+                        o1 + s + 1, o1 + s, o2 + s + 1]
+            else:
+                idx += [o1 + s + 1, o1 + s, o2 + s]
+        o1 += segments if ring == 0 else segments + 1
+        o2 = o1 + segments + 1
+    verts = np.asarray(verts, np.float32).astype(np.float64)
+    tri = np.asarray(idx, np.int64).reshape(-1, 3)
+    return verts[tri]
+
+
 def _quad_tris(points, normal, uvs=None):
     p = [np.asarray(q, np.float64) for q in points]
     n = np.asarray(normal, np.float64)
@@ -367,19 +411,60 @@ class OracleScene:
                         + f * np.asarray(g["bottom"], np.float64))
 
         # Emissive light triangles for NEE.  Lights must be static
-        # (light.rs:63-68), so areas are time-invariant.
-        geo0 = self.geometry_at(0.0)
-        ns = len(self.spheres)
-        self.light_tris = [j for j, t in enumerate(self.tris)
-                           if t[7][0] == "diffuse_light"]
-        for j in self.light_tris:
-            if self.tris[j][8].animated:
+        # (light.rs:63-68), so areas are time-invariant.  The table holds
+        # OBJECT-space triangles (quirk #2 applies the HIT instance's o2w
+        # at sampling time); areas are world-space (light.rs:63), with the
+        # degenerate-area cutoff (light.rs:81-88).  Emissive uv_spheres
+        # contribute their TESSELLATED triangles (light.rs collects every
+        # light mesh's triangles; the engine does the same even though it
+        # traces spheres analytically), independently re-derived from
+        # mesh.rs:155-258.
+        lv0, lv1, lv2, areas = [], [], [], []
+        for inst in doc["instances"]:
+            xf = _Transform(inst.get("transform"))
+            kind, body = prims[inst["name"]]
+            mat = self.materials[body["material"]]
+            if mat[0] != "diffuse_light":
+                continue
+            if xf.animated:
                 raise ValueError("oracle: animated light (light.rs:63-68)")
-        areas = [0.5 * np.linalg.norm(np.cross(geo0.tri_e1[j],
-                                               geo0.tri_e2[j]))
-                 for j in self.light_tris]
-        self.light_areas = np.asarray(areas, np.float64)
-        self.light_total_area = float(self.light_areas.sum()) if areas else 0.0
+            if kind == "uv_sphere":
+                otris = _uv_sphere_light_tris(
+                    np.asarray(body["center"], np.float64),
+                    float(body["radius"]),
+                    int(body["rings"]), int(body["segments"]))
+            elif kind == "triangle":
+                otris = np.asarray(body["points"],
+                                   np.float64).reshape(1, 3, 3)
+            elif kind == "quad":
+                otris = np.stack(
+                    [np.stack(tq[:3]) for tq in _quad_tris(
+                        body["points"], body["normal"], body.get("uv"))])
+            elif kind == "box":
+                otris = np.stack(
+                    [np.stack(tq[:3]) for tq in _box_tris(*body["corners"])])
+            else:
+                raise ValueError(f"oracle: unsupported light prim {kind}")
+            m = xf.matrix(0.0)
+            w = otris @ m[:3, :3].T + m[:3, 3]
+            a = 0.5 * np.linalg.norm(
+                np.cross(w[:, 1] - w[:, 0], w[:, 2] - w[:, 0]), axis=-1)
+            keep = a > 1e-8
+            lv0.append(otris[keep, 0])
+            lv1.append(otris[keep, 1])
+            lv2.append(otris[keep, 2])
+            areas.append(a[keep])
+        if areas:
+            self.light_v0o = np.concatenate(lv0)
+            self.light_v1o = np.concatenate(lv1)
+            self.light_v2o = np.concatenate(lv2)
+            self.light_areas = np.concatenate(areas)
+        else:
+            self.light_v0o = np.zeros((0, 3))
+            self.light_v1o = np.zeros((0, 3))
+            self.light_v2o = np.zeros((0, 3))
+            self.light_areas = np.zeros(0)
+        self.light_total_area = float(self.light_areas.sum())
 
         cam = None
         for c in doc["cameras"]:
@@ -730,14 +815,13 @@ def render_oracle(path, width, height, spp, max_depth=None, seed=7,
                         # light sample: area-weighted triangle, uniform
                         # point; quirk #2: the OBJECT-space light triangle
                         # is taken through the HIT instance's o2w.
-                        li = rng.choice(len(scene.light_tris), size=n,
+                        li = rng.choice(len(scene.light_areas), size=n,
                                         p=scene.light_areas
                                         / scene.light_total_area)
                         r1 = rng.random(n)
                         r2 = rng.random(n)
                         sq = np.sqrt(r1)
                         b0, b1 = 1 - sq, sq * r2
-                        lt = np.array(scene.light_tris)[li]
                         hx = geo.prim_xf[safe_prim]
                         rot = hx[:, :3, :3]
                         trn = hx[:, :3, 3]
@@ -745,9 +829,9 @@ def render_oracle(path, width, height, spp, max_depth=None, seed=7,
                         def _w(v):
                             return np.einsum("nij,nj->ni", rot, v) + trn
 
-                        w0 = _w(geo.tri_obj_v0[lt])
-                        w1 = _w(geo.tri_obj_v1[lt])
-                        w2 = _w(geo.tri_obj_v2[lt])
+                        w0 = _w(scene.light_v0o[li])
+                        w1 = _w(scene.light_v1o[li])
+                        w2 = _w(scene.light_v2o[li])
                         e1, e2 = w1 - w0, w2 - w0
                         lpos = w0 + b0[:, None] * e1 + b1[:, None] * e2
                         lnrm = np.cross(e1, e2)

@@ -58,6 +58,14 @@ CASES = [
     # the rest run in the slow sweep (`pytest -m ""`).
     pytest.param("diffuse-spheres.json", 48, 27, 384, (16, 24), 10, 4e-3,
                  0.02, (3, 8e-3), None, marks=pytest.mark.slow),
+    # Round 5: remaining scene families so ALL 15 shipped scenes carry an
+    # oracle gate (gates ~2-3x measured; tools_dev/oracle_tune.py).
+    pytest.param("triangle.json", 48, 27, 384, (16, 16), 6, 1e-3,
+                 0.015, (3, 6e-3), None, marks=pytest.mark.slow),
+    pytest.param("metal-spheres.json", 48, 27, 256, (16, 16), 8, 1.5e-3,
+                 0.03, (3, 0.012), None, marks=pytest.mark.slow),
+    pytest.param("dielectric-spheres.json", 48, 27, 256, (16, 16), 8,
+                 1.5e-3, 0.04, (3, 0.014), None, marks=pytest.mark.slow),
     ("quads.json", 32, 32, 384, (16, 16), 6, 4e-3, 0.03, (4, 9e-3), None),
     pytest.param("cornell-box.json", 32, 32, 512, (64, 8), 8, 6e-3, 0.12,
                  (4, 0.03), None, marks=pytest.mark.slow),
@@ -77,6 +85,25 @@ CASES = [
     # own per-batch ray times (mesh_instance.rs:51-59 semantics).
     pytest.param("earth-motion-blur.json", 32, 32, 24, (8, 8), 6, 3e-3,
                  0.025, (4, 8e-3), "batch", marks=pytest.mark.slow),
+    # Round-5 verdict #7: specular skip-pdf x NEE/MIS interactions
+    # (ray_gen.glsl:509-534) against the independent tracer.  Gates are
+    # ~2-3x the measured disagreement (tools_dev/oracle_tune.py,
+    # 2026-08-19: metal mean 1.2e-3 / rmse 0.134 / down4 0.023; glass
+    # 2.1e-3 / 0.142 / 0.026; simple-light 2.2e-4 / 0.042 / 0.0083;
+    # fow-motion-blur 8.0e-4 / 0.019 / 0.0061).
+    pytest.param("cornell-box-metal.json", 32, 32, 512, (64, 8), 8, 6e-3,
+                 0.2, (4, 0.05), None, marks=pytest.mark.slow),
+    pytest.param("cornell-box-glass.json", 32, 32, 512, (64, 8), 8, 8e-3,
+                 0.22, (4, 0.055), None, marks=pytest.mark.slow),
+    # Emissive SPHERE light: its alias-table entries are the light mesh's
+    # TESSELLATED triangles even in analytic-sphere mode (light.rs
+    # semantics) — the oracle independently re-derives that tessellation.
+    pytest.param("simple-light.json", 32, 32, 512, (64, 8), 8, 3e-3,
+                 0.08, (4, 0.02), None, marks=pytest.mark.slow),
+    # DOF + motion blur + specular combined at the engine's batch times.
+    pytest.param("final-one-weekend-motion-blur.json", 48, 27, 48,
+                 (16, 8), 8, 4e-3, 0.04, (3, 0.015), "batch",
+                 marks=pytest.mark.slow),
 ]
 
 

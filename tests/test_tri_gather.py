@@ -120,6 +120,45 @@ def test_tri_gather_bitwise_vs_dense():
         np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
 
 
+def test_tri_gather_bitwise_large_world_coords():
+    """ADVICE r4: the tri pretest's t-prune margin (te < bt*1.0001 + 1e-4)
+    must hold when f32 slab-entry error grows with coordinate magnitude —
+    geometry and camera offset to ~1e4 must keep gather == dense bitwise
+    (no true closest hit dropped by the conservative pretest)."""
+    from raytrace_tpu.scene_file import Transform, TransformType
+
+    off = [1.0e4, -1.0e4, 1.0e4]
+    sf = _obj_scene()
+    sf.instances[0].transform = TransformType(start=Transform(translate=off))
+    cam = sf.cameras[0]
+    cam.eye = [off[0], off[1], off[2] + 5.0]
+    cam.look_at = off
+    cs = compile_scene(sf, width=16, height=16)
+    assert cs.tri_cluster_g == 16
+    scene, static = upload_scene(cs)
+    static = dataclasses.replace(
+        static, use_pallas_sweep=True, pallas_interpret=True)
+    W = H = 16
+    cam_arr = build_camera_arrays(cs.cameras[cs.render.camera], W, H)
+    geom = prepare_batch(static, scene, jnp.float32(0.5))
+
+    st0 = dataclasses.replace(
+        static, tri_cluster_g=0, kernel_options=KernelOptions(sweep="scalar"))
+    base, r0, _, _ = render_tile_mega(
+        st0, scene, geom, cam_arr, jnp.int32(0), jnp.int32(0), H, False,
+        interpret=True)
+    st1 = dataclasses.replace(static, kernel_options=KernelOptions())
+    assert make_config(st1, scene, False).tri_gather
+    got, r1, _, _ = render_tile_mega(
+        st1, scene, geom, cam_arr, jnp.int32(0), jnp.int32(0), H, False,
+        interpret=True)
+    # the scene must actually be visible (guard against an all-sky render
+    # passing vacuously)
+    assert float(r0) > 0 and np.asarray(base).std() > 0
+    assert float(r0) == float(r1)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
 @pytest.mark.slow
 def test_tri_gather_renderer_vs_wavefront():
     """End-to-end Renderer parity: megakernel tri-gather == XLA wavefront
