@@ -121,6 +121,22 @@ class MegaConfig:
     # texel factor can be applied by an XLA post-pass after the kernel
     # (render_tile_mega).  cfg.n_pix then counts items, not pixels.
     item_mode: bool = False
+    # Pair sample-stealing: lanes (g, l) and (g, l+64) share one combined
+    # item list of 2 * q_pix * (spp_local * n_batches) samples via a
+    # two-pointer split — the left lane claims items ascending (its own
+    # q_pix pixels first, in-order), the right lane descending (ITS own
+    # pixels first: the item->sample map reverses sip in the right half
+    # so each owner still sees its pixels in natural sample order).  When
+    # one lane drains its side it keeps claiming the partner's remaining
+    # samples, so the pair's divergence tail is bounded by ONE sample
+    # instead of the slow lane's whole backlog.  Claims are coordinated
+    # with three 64-lane rolls per iteration (cur, target, attempt) and a
+    # deterministic tie-break; stolen samples flush into the owner's
+    # output slot through a rolled masked add.  Per-pixel RNG streams
+    # make every sample's value lane-independent, so the image equals
+    # the non-stealing kernel up to FP add order (statistical, not
+    # bitwise, parity — same class as the Mosaic one-ulp deltas).
+    use_steal: bool = False
     # Cluster-selective sphere sweep (sub-linear in scene size): spheres
     # [0, n_prefix) are "global" and swept densely; the rest are spatially
     # ordered clusters of clu_g spheres traversed per lane nearest-first
@@ -224,6 +240,17 @@ class MegaConfig:
     tri_gather: bool = False
     tri_g: int = 16
     n_tclusters: int = 0
+    # Light-table lane gather: alias-table row selection + the chosen
+    # triangle's 9 coords fetched with take_along_axis from a VMEM
+    # [11 * l_blocks, 128] table (field-major blocks of 128 lights)
+    # instead of the SMEM compare-select loop, whose cost is 11 * L8
+    # selects per bounce — 19.4 of simple-light's 21.9 us/cell-iter at
+    # its 962 tessellated light triangles (diag_ablate, 2026-08-19).
+    # Fetched values are the same f32 bits, so parity is unchanged.
+    # l_blocks = ceil(L / 128); 0 keeps the select loop (small L, the
+    # measured-good cornell path).
+    light_gather: bool = False
+    l_blocks: int = 0
 
 
 def _fetch_rows(rowsT_ref, prim, P: int, layout):
@@ -1472,8 +1499,13 @@ def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref,
 
 
 def _sample_lights_kernel(cfg: MegaConfig, state, light_ref, lcount, o2w_cols):
-    """In-kernel sample_light_sources_v3: alias-table row selected by an
-    SMEM compare-select loop instead of a gather (ray_gen.glsl:252-281)."""
+    """In-kernel sample_light_sources_v3 (ray_gen.glsl:252-281).
+
+    Small L: alias-table row selected by an SMEM compare-select loop
+    (11 * L8 selects).  cfg.light_gather: per-lane lane gathers from the
+    VMEM [11 * l_blocks, 128] field-major table — same f32 bits, O(1) in
+    L per 128-light block — which is what makes emissive tessellated
+    spheres (simple-light: 962 light triangles) viable in-kernel."""
     state, u1 = rng.random_float(state)
     state, u2 = rng.random_float(state)
 
@@ -1481,19 +1513,40 @@ def _sample_lights_kernel(cfg: MegaConfig, state, light_ref, lcount, o2w_cols):
     i = jnp.minimum((u1 * n).astype(jnp.int32),
                     jnp.maximum(n.astype(jnp.int32) - 1, 0))
     nz = u1 * 0.0
-    prob = nz
-    alias = nz
-    for l in range(cfg.L8):
-        sel = i == l
-        prob = jnp.where(sel, light_ref[l, 0], prob)
-        alias = jnp.where(sel, light_ref[l, 1], alias)
-    tri_index = jnp.where(u2 >= prob, alias.astype(jnp.int32), i)
+    if cfg.light_gather:
+        B = cfg.l_blocks
 
-    cols = [nz] * 9
-    for l in range(cfg.L8):
-        sel = tri_index == l
-        for c in range(9):
-            cols[c] = jnp.where(sel, light_ref[l, 2 + c], cols[c])
+        def g(f, blk, col):
+            out = nz
+            for b in range(B):
+                r = f * B + b
+                row = jnp.broadcast_to(light_ref[r:r + 1, :], (SUB, 128))
+                v = jnp.take_along_axis(row, col, axis=1)
+                out = v if B == 1 else jnp.where(blk == b, v, out)
+            return out
+
+        blk = i // 128
+        col = i - blk * 128
+        prob = g(0, blk, col)
+        alias = g(1, blk, col)
+        tri_index = jnp.where(u2 >= prob, alias.astype(jnp.int32), i)
+        tb = tri_index // 128
+        tc = tri_index - tb * 128
+        cols = [g(2 + c, tb, tc) for c in range(9)]
+    else:
+        prob = nz
+        alias = nz
+        for l in range(cfg.L8):
+            sel = i == l
+            prob = jnp.where(sel, light_ref[l, 0], prob)
+            alias = jnp.where(sel, light_ref[l, 1], alias)
+        tri_index = jnp.where(u2 >= prob, alias.astype(jnp.int32), i)
+
+        cols = [nz] * 9
+        for l in range(cfg.L8):
+            sel = tri_index == l
+            for c in range(9):
+                cols[c] = jnp.where(sel, light_ref[l, 2 + c], cols[c])
     p0 = V3(cols[0], cols[1], cols[2])
     p1 = V3(cols[3], cols[4], cols[5])
     p2 = V3(cols[6], cols[7], cols[8])
@@ -1607,6 +1660,48 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
             p = jnp.where(qi == s, pix_q[s], p)
         return p
 
+    # --- pair sample-stealing (cfg.use_steal) ---------------------------
+    # Lanes (g, l) and (g, l+64) share the pair's 2*Q*K sample items with
+    # a two-pointer split (see MegaConfig.use_steal).  Item j's identity:
+    #   s2 = j // K     slot index: s2 < Q -> LEFT lane's stratum s2,
+    #                   s2 >= Q -> RIGHT lane's stratum s2 - Q
+    #   sip = j % K for the left half, K-1 - j % K for the right half —
+    #   so each owner, walking its natural direction (left ascending /
+    #   right descending), still sees its own pixels in ascending-sample
+    #   order, keeping unstolen pixels' flush order (and thus rounding)
+    #   identical to the non-stealing kernel.
+    # Dead (padding) slots cost one claim iteration per pixel (the jump
+    # target skips the rest of the K-item block).
+    STEAL = cfg.use_steal
+    if STEAL:
+        assert not cfg.item_mode
+        KIT = 2 * Q * K                           # items per lane pair
+        lane_col = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+        is_b = lane_col >= 64                     # right half of each pair
+        rl64 = lambda x: pltpu.roll(x, 64, 1)
+        pix_p = [rl64(t) for t in pix_q]          # partner's stratum tables
+
+        def steal_meta(cur):
+            """(s2, stratum, owned-by-this-lane, sip) of item `cur`."""
+            s2 = cur // K
+            jm = cur - s2 * K
+            right = s2 >= Q
+            stratum = jnp.where(right, s2 - Q, s2)
+            own = right == is_b
+            sip = jnp.where(right, K - 1 - jm, jm)
+            return s2, stratum, own, sip
+
+        def steal_pix(stratum, own):
+            p = jnp.where(own, pix_q[0], pix_p[0])
+            for s in range(1, Q):
+                p = jnp.where(stratum == s,
+                              jnp.where(own, pix_q[s], pix_p[s]), p)
+            return p
+
+        def steal_decode(cur):
+            s2, stratum, own, sip = steal_meta(cur)
+            return stratum, own, sip, steal_pix(stratum, own)
+
     def raygen(pix, sip):
         """Seed + camera ray for sample `sip` of the lane's pixel `pix`
         (identical math and RNG stream to engine.wavefront.render_tile).
@@ -1633,8 +1728,17 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         )
 
     qi0 = jnp.zeros_like(pix_q[0])
-    pix0 = pix_of(qi0)
-    state, ray_o, ray_d = raygen(pix0, qi0)
+    if STEAL:
+        # left lanes start at item 0 (own stratum 0, sample 0); right
+        # lanes at item KIT-1 (own stratum Q-1, sample 0 — the right
+        # half's sip map reverses j % K).
+        cur0 = jnp.where(is_b, jnp.int32(KIT - 1), jnp.int32(0))
+        live0 = jnp.ones_like(cur0)   # int32 0/1: Mosaic can't carry i1
+        _, _, sip0, pix0 = steal_decode(cur0)
+        state, ray_o, ray_d = raygen(pix0, sip0)
+    else:
+        pix0 = pix_of(qi0)
+        state, ray_o, ray_d = raygen(pix0, qi0)
     nzero = ray_d.x * 0.0
     bg = V3(nzero + prm_ref[0, 2], nzero + prm_ref[0, 3], nzero + prm_ref[0, 4])
     lcount = prm_ref[0, 8]
@@ -1662,7 +1766,13 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
              iters, pix) = carry
             ti = None
         dead = pix >= cfg.n_pix
-        avail = qi < Q
+        if STEAL:
+            # reinterpreted carry slots: qi = current item, sip = live
+            cur, live = qi, sip > 0
+            s2cur, stratum, own, _sipd = steal_meta(cur)
+            avail = live
+        else:
+            avail = qi < Q
         active = avail & ~dead
         scnt = scnt + active.astype(jnp.float32)
         iters = iters + 1.0
@@ -1856,6 +1966,34 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         # pixel's output row-block (adds happen in sample order per
         # pixel, preserving bitwise parity with per-lane accumulation).
         def _flush():
+            if STEAL:
+                # A stolen sample's radiance belongs to the PARTNER's
+                # output slot: roll the masked contribution by 64 lanes
+                # (an involution — the partner's column) and add it under
+                # the rolled stratum mask.  Own and stolen contributions
+                # can land on the same slot in one iteration (both lanes
+                # inside the same pixel's item range) — the two masked
+                # terms simply sum.
+                ownm = sample_over & own
+                stlm = sample_over & ~own
+                racx = rl64(jnp.where(stlm, acc.x, 0.0))
+                racy = rl64(jnp.where(stlm, acc.y, 0.0))
+                racz = rl64(jnp.where(stlm, acc.z, 0.0))
+                rsc = rl64(jnp.where(stlm, scnt, 0.0))
+                rst = rl64(jnp.where(stlm, stratum, -1))
+                for s in range(Q):
+                    mo = ownm & (stratum == s)
+                    ms = rst == s
+                    sl = slice(s * SUB, (s + 1) * SUB)
+                    rx_ref[sl, :] += (jnp.where(mo, acc.x, 0.0)
+                                      + jnp.where(ms, racx, 0.0))
+                    ry_ref[sl, :] += (jnp.where(mo, acc.y, 0.0)
+                                      + jnp.where(ms, racy, 0.0))
+                    rz_ref[sl, :] += (jnp.where(mo, acc.z, 0.0)
+                                      + jnp.where(ms, racz, 0.0))
+                    tr_ref[sl, :] += (jnp.where(mo, scnt, 0.0)
+                                      + jnp.where(ms, rsc, 0.0))
+                return
             for s in range(Q):
                 m = sample_over & (qi == s)
                 mf = m.astype(jnp.float32)
@@ -1874,14 +2012,48 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         # measured ~0.1us/iter on v5e).
         _flush()
 
-        if cfg.item_mode:
+        live2 = None
+        if STEAL:
+            # Two-pointer claim: `tgt` is this lane's next item — one
+            # step in its direction, or (when the current pixel is a
+            # dead padding slot) the far end of the pixel's K-item
+            # block.  Claims coordinate through three 64-lane rolls
+            # (partner's cur/target/attempt, all computed THIS iteration
+            # — lanes run in lockstep, so nothing is stale):
+            #  - left lane claims iff tgt is strictly below the
+            #    partner's current item and the partner isn't claiming
+            #    strictly below tgt (ties go LEFT);
+            #  - right lane mirrors, yielding on exact ties.
+            # A failed claim retires the lane (the boundary only ever
+            # tightens); overlapping claims can only land on dead items
+            # (no flush), never on live ones.
+            mv = sample_over | jump
+            nxt = jnp.where(is_b, cur - 1, cur + 1)
+            jt = jnp.where(is_b, s2cur * K - 1, (s2cur + 1) * K)
+            tgt = jnp.where(jump, jt, nxt)
+            pcur = rl64(cur)
+            ptgt = rl64(tgt)
+            # Mosaic can't rotate i1 vectors; roll the mask as int32.
+            pmv = rl64(mv.astype(jnp.int32)) > 0
+            pf0 = pmv & (ptgt < cur)      # partner (left role) attempts
+            pb0 = pmv & (ptgt > cur)      # partner (right role) attempts
+            claim_b = (tgt > pcur) & ~(pf0 & (ptgt == tgt))
+            claim_f = (tgt < pcur) & ~(pb0 & (ptgt < tgt))
+            claim = mv & ((is_b & claim_b) | (~is_b & claim_f))
+            live2 = (live & (claim | ~mv)).astype(jnp.int32)
+            qi2 = jnp.where(claim, tgt, cur)
+            _, _, sip2, pix2 = steal_decode(qi2)
+            regen = claim
+        elif cfg.item_mode:
             crossed = sample_over          # one sample per item slot
         else:
             crossed = sample_over & (sip + 1 >= K)
-        qi2 = jnp.where(crossed | jump, qi + 1, qi)
-        sip2 = jnp.where(crossed | jump, 0,
-                         jnp.where(sample_over, sip + 1, sip))
-        pix2 = jnp.where(crossed | jump, pix_of(qi2), pix)
+        if not STEAL:
+            qi2 = jnp.where(crossed | jump, qi + 1, qi)
+            sip2 = jnp.where(crossed | jump, 0,
+                             jnp.where(sample_over, sip + 1, sip))
+            pix2 = jnp.where(crossed | jump, pix_of(qi2), pix)
+            regen = (sample_over | jump) & (qi2 < Q)
         scnt = jnp.where(sample_over, nzero, scnt)
 
         ray_o = vec3.where(cont, hp, ray_o)
@@ -1889,7 +2061,6 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         thr = vec3.where(cont, new_thr, thr)
         state = jnp.where(active, state2, state)
 
-        regen = (sample_over | jump) & (qi2 < Q)
         if "dupregen" in tags:
             _, rg_o2, rg_d2 = raygen(pix2 + 1, sip2)
             iters = iters + (rg_o2.x + rg_d2.x) * 1e-30
@@ -1913,20 +2084,27 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         acc = vec3.where(sample_over | jump, V3(nzero, nzero, nzero), acc)
         depth3 = jnp.where(regen, depth0, depth2)
 
+        slot6 = live2 if STEAL else sip2
         if ti_ref is not None:
             ti = jnp.where(sample_over | jump, nzero - 1.0, ti)
-            return (state, ray_o, ray_d, thr, acc, qi2, sip2, depth3,
+            return (state, ray_o, ray_d, thr, acc, qi2, slot6, depth3,
                     scnt, iters, pix2, ti)
-        return (state, ray_o, ray_d, thr, acc, qi2, sip2, depth3, scnt,
+        return (state, ray_o, ray_d, thr, acc, qi2, slot6, depth3, scnt,
                 iters, pix2)
 
     def cond(carry):
+        if STEAL:
+            return jnp.sum(carry[6]) > 0
         return jnp.sum((carry[5] < Q).astype(jnp.int32)) > 0
 
     one3 = V3(nzero + 1.0, nzero + 1.0, nzero + 1.0)
     zero3 = V3(nzero, nzero, nzero)
-    init = (state, ray_o, ray_d, one3, zero3, qi0, qi0, depth0, nzero,
-            nzero, pix0)
+    if STEAL:
+        init = (state, ray_o, ray_d, one3, zero3, cur0, live0, depth0,
+                nzero, nzero, pix0)
+    else:
+        init = (state, ray_o, ray_d, one3, zero3, qi0, qi0, depth0, nzero,
+                nzero, pix0)
     if ti_ref is not None:
         init = init + (nzero - 1.0,)
     # Amortize the cross-lane while-cond (a vector->scalar sync,
@@ -2025,12 +2203,27 @@ def build_mega_tables(cfg, static, scene, geom):
         rowsT = jnp.pad(rowsT, ((0, M8 - M), (0, 0)))
 
     L = scene.light_prob.shape[0]
-    L8 = max(8, -(-L // 8) * 8)
-    light = jnp.zeros((L8, 16), jnp.float32)
-    if L:
-        light = light.at[:L, 0].set(scene.light_prob)
-        light = light.at[:L, 1].set(scene.light_alias.astype(jnp.float32))
-        light = light.at[:L, 2:11].set(scene.light_tri_packed[:, 0:9])
+    if cfg.light_gather:
+        # VMEM lane-gather layout: row f * B + b = field f (prob, alias,
+        # 9 triangle coords) of lights [b*128, (b+1)*128); rows padded to
+        # a multiple of 8.
+        B = cfg.l_blocks
+        flat = jnp.zeros((11, B * 128), jnp.float32)
+        flat = flat.at[0, :L].set(scene.light_prob)
+        flat = flat.at[1, :L].set(scene.light_alias.astype(jnp.float32))
+        flat = flat.at[2:11, :L].set(scene.light_tri_packed[:, 0:9].T)
+        light = flat.reshape(11 * B, 128)
+        rpad = -(-light.shape[0] // 8) * 8 - light.shape[0]
+        if rpad:
+            light = jnp.pad(light, ((0, rpad), (0, 0)))
+    else:
+        L8 = max(8, -(-L // 8) * 8)
+        light = jnp.zeros((L8, 16), jnp.float32)
+        if L:
+            light = light.at[:L, 0].set(scene.light_prob)
+            light = light.at[:L, 1].set(
+                scene.light_alias.astype(jnp.float32))
+            light = light.at[:L, 2:11].set(scene.light_tri_packed[:, 0:9])
 
     if cfg.use_gather:
         # Lane-gather cluster table: row 4*s+f = field f (cx,cy,cz,k) of
@@ -2238,7 +2431,9 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
             pl.BlockSpec((_rowsT_m8(cfg), cfg.P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),            # rowsT (compact)
             smem(),                                           # o2w [I,12]
-            smem(),                                           # light [L8,16]
+            (pl.BlockSpec(light.shape, lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)            # light gather
+             if cfg.light_gather else smem()),                # light [L8,16]
             qspec,                                            # pix table
         ],
         out_specs=[qspec, qspec, qspec, qspec,
@@ -2366,6 +2561,17 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         cull_every = 0
     flags = static.flags
     item_mode = bool(flags.has_image)
+    # Pair sample-stealing (use_steal): measured default OFF — on v5e the
+    # three-roll claim protocol costs more than the divergence tail it
+    # recovers (flagship 292.1 -> 289.4 M ray-bounces/s, util 0.926 ->
+    # 0.953; simple-light steady 383.4 -> 371.8 Mrays/s with steal on;
+    # 2026-08-19).  Kept as an opt-in (KernelOptions(steal=True) /
+    # MEGA_STEAL=1) because the win grows with per-pixel cost variance
+    # and future scenes may cross over.  Never in item mode (each item
+    # slot must flush exactly once) or selective mode.
+    use_steal = False if opts.steal is None else bool(opts.steal)
+    use_steal = (use_steal and not item_mode and not use_sel
+                 and "nosteal" not in ablate.split(","))
     if item_mode:
         # Deferred image textures (deferred_image_supported): the kernel
         # shades MODE_IMAGE albedo slots as the constant 1.0
@@ -2391,6 +2597,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         has_lights=bool(static.has_lights),
         flags=flags,
         item_mode=item_mode,
+        use_steal=use_steal,
         use_sel=use_sel,
         n_prefix=n_prefix,
         clu_g=G,
@@ -2404,6 +2611,11 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         use_bands=use_bands and use_gather,
         use_balance=balance if use_gather else "",
         use_box=use_box and (use_gather or use_sieve),
+        # Light-table lane gather once the select loop would dominate
+        # (11 * L8 selects/bounce): small tables keep the measured
+        # cornell path, big ones (tessellated sphere lights) gather.
+        light_gather=bool(static.has_lights) and L > 16,
+        l_blocks=-(-L // 128) if (static.has_lights and L > 16) else 0,
         direct_normals=bool(static.sphere_world_mode) and not item_mode,
         tri_gather=bool(static.tri_cluster_g > 0
                         and static.num_triangles > 0),

@@ -90,6 +90,19 @@ class KernelOptions:
     #: cross-lane any-pending check per block, per-block re-pretest cull
     #: when cull_every > 0, exits as soon as the masks drain).
     schedule: str = "auto"
+    #: pair sample-stealing: lanes (l, l+64) share their combined
+    #: 2*q_pix*K sample list with a two-pointer split, so a lane that
+    #: drains its own pixels keeps working on its partner's — the
+    #: in-kernel fix for the chunk-static lane->pixel binding's
+    #: divergence tail (measured cell utilization 0.467 without it).
+    #: Per-pixel RNG streams make the radiance sums identical up to
+    #: FP add order (stolen samples flush into the owner's slot out of
+    #: order), so results are statistically, not bitwise, equal to the
+    #: non-stealing kernel.  None = off: measured net-negative on v5e
+    #: (the claim protocol's three 64-lane rolls/iter cost more than the
+    #: recovered tail — flagship 292->289, simple-light 383->372
+    #: Mrays/s); kept as an opt-in lever for high-variance scenes.
+    steal: Optional[bool] = None
 
     def __post_init__(self):
         if self.schedule != "auto":
@@ -139,6 +152,8 @@ class KernelOptions:
             kw["balance"] = (v in ("idle", "pair") and v) or v == "1"
         if "MEGA_BOX" in env:
             kw["box"] = env["MEGA_BOX"] == "1"
+        if "MEGA_STEAL" in env:
+            kw["steal"] = env["MEGA_STEAL"] == "1"
         if env.get("MEGA_SEL", "") == "1":
             kw["sweep"] = "selective"
         elif env.get("MEGA_SIEVE", "") == "1":
