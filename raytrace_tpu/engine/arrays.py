@@ -122,6 +122,14 @@ class SceneStatic:
     # sphere-block split for the selective sweep (models/sphere_order.py):
     # [0, sph_prefix) dense "global" spheres, rest greedy-clustered
     sph_prefix: int = 0
+    # Fused animated megakernel (ops/megakernel MegaConfig.anim_lerp):
+    # sphere-only linear motion is lerped IN-KERNEL from endpoint+delta
+    # tables (ops/spheres.world_sphere_anim_tables), so k progressive
+    # batches fuse into one kernel call exactly like static scenes — the
+    # TPU answer to the reference's per-batch TLAS refit + fence
+    # (acceleration.rs:91-115).  Set by the Renderer after its
+    # eligibility checks (linearity, no tris/lights/images, world mode).
+    anim_fuse: bool = False
     # triangle-block cluster size (models/sphere_order.apply_triangle_order):
     # consecutive runs of tri_cluster_g triangles are spatially tight for
     # the megakernel's tri-gather sweep.  0 = file order (dense sweep).

@@ -125,25 +125,38 @@ def _cached_mega_chunk(static, use_dof: bool, k: int, q: int):
     from ..ops.megakernel import render_tile_mega
     from .wavefront import prepare_batch
 
-    def chunk(scene, cam, accum, pix_perm, hist, batch0, times, sph_tabs):
+    def chunk(scene, cam, accum, pix_perm, hist, batch0, times, sph_tabs,
+              anim_args=None):
         # Item mode (deferred image textures): pix_perm is None — items
         # cost ~the same, so lanes take the identity assignment and the
         # chunk needs no scatter back to item order (renderer __init__).
         deferred = bool(static.flags.has_image)
         n_lanes = 0 if deferred else pix_perm.shape[0] // q
-        if not static.any_animated:
+        if not static.any_animated or static.anim_fuse:
             # Static scene: all k batches share geometry, so they fuse into
             # ONE kernel call whose lanes run k*spp samples each — the
             # divergence tail amortizes over the whole chunk.
-            geom = prepare_batch(
-                static, scene, times[0],
-                sph_table=sph_tabs[0] if static.sphere_world_mode else None,
-            )
+            # anim_fuse: animated spheres share ONE endpoint+delta table
+            # (the kernel lerps centers at each sample's batch time), so
+            # the same fusion applies — the TPU answer to the
+            # reference's per-batch TLAS refit (acceleration.rs:91-115).
+            if static.anim_fuse:
+                tab0, dtab, times_full = anim_args
+                geom = prepare_batch(
+                    static, scene, times[0], sph_table=tab0,
+                    sph_dtab=dtab)
+            else:
+                times_full = None
+                geom = prepare_batch(
+                    static, scene, times[0],
+                    sph_table=(sph_tabs[0] if static.sphere_world_mode
+                               else None),
+                )
             sum_tiles, tr, traced_pix, _it = render_tile_mega(
                 static, scene, geom, cam, batch0, jnp.int32(0),
                 static.height, use_dof, reduce_mean=False,
                 interpret=static.pallas_interpret, pix_perm=pix_perm,
-                n_batches=k, q_pix=q,
+                n_batches=k, q_pix=q, times_row=times_full,
             )
             spp = static.sqrt_spp ** 2
             b0 = batch0.astype(jnp.float32)
@@ -188,11 +201,11 @@ def _cached_mega_step(static, use_dof: bool, q: int):
     with a cost-stratified lane->pixel assignment (ops/megakernel.py)."""
     from ..ops.megakernel import render_tile_mega
 
-    def step(scene, geom, cam, sample_batch, pix_perm):
+    def step(scene, geom, cam, sample_batch, pix_perm, times_row=None):
         return render_tile_mega(
             static, scene, geom, cam, sample_batch, jnp.int32(0),
             static.height, use_dof, interpret=static.pallas_interpret,
-            pix_perm=pix_perm, q_pix=q,
+            pix_perm=pix_perm, q_pix=q, times_row=times_row,
         )
 
     return jax.jit(step)
@@ -401,6 +414,29 @@ class Renderer:
                 self.static = dataclasses.replace(
                     self.static, use_megakernel=True
                 )
+        # Fused animated megakernel (SceneStatic.anim_fuse): sphere-only
+        # LINEAR motion lets the kernel lerp world centers in-flight from
+        # one endpoint+delta table pair, so animated scenes fuse k
+        # batches into one kernel call exactly like static scenes
+        # (ops/spheres.world_sphere_anim_tables verifies linearity /
+        # constant radii and returns None otherwise).  Gated to the
+        # megakernel sphere-only regime: no tris (_SLOT_DC shares fat-row
+        # slots with _SLOT_TRIN), no lights (per-batch o2w would be
+        # needed for NEE), no image textures (item mode flushes once per
+        # slot).
+        self._anim_tabs = None
+        if (self.static.use_megakernel and self.static.any_animated
+                and self.static.sphere_world_mode
+                and not self.static.has_tris
+                and not self.static.has_lights
+                and not self.static.flags.has_image):
+            from ..ops.spheres import world_sphere_anim_tables
+
+            at = world_sphere_anim_tables(compiled)
+            if at is not None:
+                self._anim_tabs = (jnp.asarray(at[0]), jnp.asarray(at[1]))
+                self.static = dataclasses.replace(
+                    self.static, anim_fuse=True)
         self.camera = cam_ops.build_camera_arrays(
             compiled.cameras[name], self.static.width, self.static.height
         )
@@ -556,21 +592,29 @@ class Renderer:
             self.sphere_tables[self.current_batch]
             if self.sphere_tables is not None else None
         )
-        geom = self._prepare(
-            self.scene, jnp.float32(self.batch_times[self.current_batch]),
-            sph_table=sph_table,
-        )
         # A non-default max_depth is passed traced (no recompile on the XLA
         # path); the default passes None so the megakernel path can
         # specialize its in-kernel loop bound.
         md = (None if self.max_depth == self.static.max_ray_depth
               else jnp.int32(self.max_depth))
+        sph_dtab = None
+        if self.static.anim_fuse and self._mega_step is not None and md is None:
+            # fused-anim kernel: geometry is the endpoint-0 table +
+            # motion deltas; the kernel lerps at the batch time.  (The
+            # wavefront fallback below keeps the true per-batch table.)
+            sph_table, sph_dtab = self._anim_tabs
+        geom = self._prepare(
+            self.scene, jnp.float32(self.batch_times[self.current_batch]),
+            sph_table=sph_table, sph_dtab=sph_dtab,
+        )
         if self._mega_step is not None and md is None:
             tile, tr, _traced, _it = self._mega_step(
                 self.scene, geom, self.camera,
                 jnp.int32(self.current_batch),
                 self._cost_perm if self._cost_perm is not None
                 else self._pix_perm,
+                times_row=(self._times_dev if self.static.anim_fuse
+                           else None),
             )
             tiles, ray_counts = [tile], [tr]
         else:
@@ -619,10 +663,15 @@ class Renderer:
         else:
             perm = (self._cost_perm if self._cost_perm is not None
                     else self._pix_perm)
+        anim_args = None
+        if self.static.anim_fuse:
+            anim_args = (self._anim_tabs[0], self._anim_tabs[1],
+                         self._times_dev)
         accum, trs, next_perm, hist = chunk_fn(
             self.scene, self.camera, self.accum, perm, self._traced_hist,
             jnp.int32(cur), self._times_dev[cur:cur + k],
             self._sph_tables_dev[cur:cur + k],
+            anim_args,
         )
         self.accum = accum
         self._traced_hist = hist

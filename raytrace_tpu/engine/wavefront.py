@@ -736,11 +736,16 @@ class BatchGeometry(NamedTuple):
     tri_attr16: jnp.ndarray  # [T8,16] n0/dn1/dn2/uv0/duv1/duv2 (hit attrs)
     prim_rows: jnp.ndarray  # [P,64] combined per-primitive rows (fat path)
     inst_o2w_rows: jnp.ndarray  # [I,12] objectToWorld rows (NEE fetch)
+    # Fused animated megakernel (static.anim_fuse): per-sphere motion
+    # delta rows [S8,8] — cols 0:3 dc = c1-c0, col 4 k1 = 2*c0.dc,
+    # col 5 k2 = |dc|^2 (ops/spheres.world_sphere_anim_tables).  Zeros
+    # ([8,8]) everywhere else.
+    sph_dtab8: jnp.ndarray = None
 
 
 def prepare_batch(static: SceneStatic, scene: SceneArrays,
                   batch_time: jnp.ndarray,
-                  sph_table=None) -> BatchGeometry:
+                  sph_table=None, sph_dtab=None) -> BatchGeometry:
     """Interpolate instance transforms to the batch ray time and re-transform
     the triangle soup — the replacement for the reference's per-batch TLAS
     refit (acceleration.rs:91-115).  One jit'd call per batch.
@@ -827,6 +832,13 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
             # the kernel's one-hot fetch.
             rows = rows.at[:s_pad, 44:47].set(sph_table[:s_pad, 0:3])
             rows = rows.at[:s_pad, 47].set(sph_table[:s_pad, 3])
+            if sph_dtab is not None:
+                # Fused animated kernel: slots 49:52 carry the center
+                # motion delta, lerped at the sample's batch time in the
+                # kernel's normal reconstruction (megakernel _SLOT_DC).
+                # Slots 49+ are free here: anim_fuse excludes triangles
+                # (_SLOT_TRIN shares 49).
+                rows = rows.at[:s_pad, 49:52].set(sph_dtab[:s_pad, 0:3])
         else:
             rows = rows.at[:s_pad, 32:44].set(sph_w2o.reshape(s_pad, 12))
             rows = rows.at[:s_pad, 44:47].set(scene.sph_center)
@@ -840,12 +852,14 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
     I = scene.inst_t0.shape[0]
     inst_o2w_rows = inst_mats.object_to_world.reshape(I, 12)
 
+    sph_dtab8 = (jnp.asarray(sph_dtab, jnp.float32) if sph_dtab is not None
+                 else jnp.zeros((8, 8), jnp.float32))
     return BatchGeometry(inst_mats=inst_mats, world_p=world_p, world_n=world_n,
                          sph_w2o=sph_w2o, sph_table=jnp.asarray(sph_table),
                          sph_table8=sph_table8, sph_bounds8=sph_bounds8,
                          tri_table16=tri_table16,
                          tri_attr16=tri_attr16, prim_rows=prim_rows,
-                         inst_o2w_rows=inst_o2w_rows)
+                         inst_o2w_rows=inst_o2w_rows, sph_dtab8=sph_dtab8)
 
 
 def render_tile_step(

@@ -240,6 +240,21 @@ class MegaConfig:
     tri_gather: bool = False
     tri_g: int = 16
     n_tclusters: int = 0
+    # Fused animated scenes (static.anim_fuse): sphere world centers are
+    # lerped IN-KERNEL at each sample's batch shutter time —
+    # c(t) = c0 + t*dc, k(t) = k0 + t*(k1 + t*k2) with k0 = |c0|^2-r^2
+    # precomputed in f64 (the 1000-radius ground sphere's 1e6 - 1e6
+    # cancellation survives; the t-terms are motion-scale) — so one
+    # endpoint+delta table serves EVERY batch and k progressive batches
+    # fuse into one kernel call exactly like static scenes (the
+    # divergence tail amortizes over the whole chunk instead of
+    # resetting per batch).  All cull tables (cluster AABBs, bounds)
+    # become shutter-conservative unions over the [0,1] motion segment
+    # (linear motion: union of endpoint boxes).  Requires linear center
+    # paths + constant radii (ops/spheres.world_sphere_anim_tables
+    # verifies and returns None otherwise); forces use_box pretest,
+    # gather-or-dense sweep, no steal/sel/sieve/mxu/item/tri/light.
+    anim_lerp: bool = False
     # Light-table lane gather: alias-table row selection + the chosen
     # triangle's 9 coords fetched with take_along_axis from a VMEM
     # [11 * l_blocks, 128] table (field-major blocks of 128 lights)
@@ -534,7 +549,7 @@ def _blocked_while(tags, carry, rbody, merge, mask_off, cull_fn):
 
 def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
                            inv_a, ddo, osq, bt, bid, masks, izero,
-                           remask=None, n_cwords=None):
+                           remask=None, n_cwords=None, tcur=None):
     """Pop-lowest-bit cluster visiting with LANE-GATHER sphere fetch.
 
     cluG_ref is [G*4 rows (8-padded), 128]: row 4*s+f holds field f
@@ -602,6 +617,10 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
         a, inv_a, ddo, osq = sel(a), sel(inv_a), sel(ddo), sel(osq)
         bt = sel(bt)
         bid = jnp.where(take, rl(bid), bid)
+        if tcur is not None:
+            # adopted lanes trace their partner's sample, whose batch
+            # (and thus shutter time) may differ
+            tcur = sel(tcur)
 
     def merge(bt_r, bid_r):
         if not balanced:
@@ -631,10 +650,21 @@ def _cluster_rounds_gather(cfg: MegaConfig, cluG_ref, o: V3, d: V3, a,
 
         base = cfg.n_prefix + ci * G
         for s in range(G):
-            cx = fetch(4 * s + 0, ci)
-            cy = fetch(4 * s + 1, ci)
-            cz = fetch(4 * s + 2, ci)
-            k = fetch(4 * s + 3, ci)
+            if cfg.anim_lerp:
+                # 9-field rows (c0 xyz, k0, dc xyz, k1, k2): lerp the
+                # center and k at the lane's current sample time (see
+                # MegaConfig.anim_lerp; k0's f64-precomputed
+                # cancellation survives the in-kernel t-terms).
+                cx = fetch(9 * s + 0, ci) + tcur * fetch(9 * s + 4, ci)
+                cy = fetch(9 * s + 1, ci) + tcur * fetch(9 * s + 5, ci)
+                cz = fetch(9 * s + 2, ci) + tcur * fetch(9 * s + 6, ci)
+                k = fetch(9 * s + 3, ci) + tcur * (
+                    fetch(9 * s + 7, ci) + tcur * fetch(9 * s + 8, ci))
+            else:
+                cx = fetch(4 * s + 0, ci)
+                cy = fetch(4 * s + 1, ci)
+                cz = fetch(4 * s + 2, ci)
+                k = fetch(4 * s + 3, ci)
             dc = cx * d.x + cy * d.y + cz * d.z
             oc = cx * o.x + cy * o.y + cz * o.z
             h = ddo - dc
@@ -973,7 +1003,7 @@ def _ray_rhs(o: V3, d: V3):
 
 
 def _sweep_sieve(cfg: MegaConfig, sieveT_ref, w_ref, clu_ref, o: V3, d: V3,
-                 active, a, inv_a, ddo, osq, bt, bid, nzero):
+                 active, a, inv_a, ddo, osq, bt, bid, nzero, tcur=None):
     """Cluster-sieve sphere sweep — sub-linear AND bit-exact.
 
     One matmul computes (c.d, c.o - k/2) for every CLUSTER's
@@ -1120,7 +1150,8 @@ def _sweep_sieve(cfg: MegaConfig, sieveT_ref, w_ref, clu_ref, o: V3, d: V3,
     if cfg.use_gather:
         return _cluster_rounds_gather(cfg, clu_ref, o, d, a, inv_a, ddo,
                                       osq, bt, bid, masks, izero,
-                                      remask=remask, n_cwords=n_words)
+                                      remask=remask, n_cwords=n_words,
+                                      tcur=tcur)
     return _cluster_rounds(cfg, clu_ref, o, d, a, inv_a, ddo, osq,
                            bt, bid, masks, izero, fixed_trip=True)
 
@@ -1357,7 +1388,7 @@ def _sweep_tri_gather(cfg: MegaConfig, tsieveT_ref, tw_ref, triG_ref,
 
 def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref,
            clu_ref, tri_ref, tsieveT_ref, tw_ref, triG_ref,
-           o: V3, d: V3, active, nzero):
+           o: V3, d: V3, active, nzero, tcur=None):
     """Closest hit: scalar-loop sweep over SMEM tables, unrolled x8.
 
     With use_mxu_sweep the sphere block goes through _sweep_mxu (dot
@@ -1387,12 +1418,22 @@ def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref,
         S8 = -(-cfg.n_spheres // 8) * 8
 
         def sph_8(ci, bt, bid):
+            # anim_lerp: the table's second half holds per-sphere motion
+            # rows (dc xyz, k1, k2); centers/k lerp at the lane's current
+            # sample time (MegaConfig.anim_lerp).
+            RD = sph_ref.shape[0] // 2 if cfg.anim_lerp else 0
             for u in range(8):
                 si = ci * 8 + u
                 cx = sph_ref[si, 0]
                 cy = sph_ref[si, 1]
                 cz = sph_ref[si, 2]
                 k = sph_ref[si, 4]
+                if cfg.anim_lerp:
+                    cx = cx + tcur * sph_ref[si + RD, 0]
+                    cy = cy + tcur * sph_ref[si + RD, 1]
+                    cz = cz + tcur * sph_ref[si + RD, 2]
+                    k = k + tcur * (sph_ref[si + RD, 4]
+                                    + tcur * sph_ref[si + RD, 5])
                 dc = cx * d.x + cy * d.y + cz * d.z
                 oc = cx * o.x + cy * o.y + cz * o.z
                 h = ddo - dc
@@ -1421,7 +1462,7 @@ def _sweep(cfg: MegaConfig, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref,
                     0, n_pref8, pref_chunk, (bt, bid))
             bt, bid = _sweep_sieve(
                 cfg, sieveT_ref, w_ref, clu_ref, o, d, active,
-                a, inv_a, ddo, osq, bt, bid, nzero)
+                a, inv_a, ddo, osq, bt, bid, nzero, tcur=tcur)
         elif cfg.use_mxu_sweep:
             bt, bid = _sweep_mxu(
                 cfg, sphT_ref, o, d, a, inv_a, ddo, osq, bt, bid)
@@ -1575,6 +1616,8 @@ _SLOT_C = 44         # sphere object-space center (3)
 _SLOT_R = 47         # sphere radius
 _SLOT_INST = 48
 _SLOT_TRIN = 49      # tri n0, dn1, dn2 (9)
+_SLOT_DC = 49        # anim_lerp: sphere center motion delta (3) — shares
+                     # 49:52 with _SLOT_TRIN (anim_lerp excludes tris)
 _SHADE_SLOTS = tuple(range(28))
 
 
@@ -1606,6 +1649,8 @@ def _fetch_layout(cfg: MegaConfig):
             geo.update(range(_SLOT_W2O, _SLOT_W2O + 12))
         geo.update(range(_SLOT_C, _SLOT_C + 3))
         geo.add(_SLOT_R)
+        if cfg.anim_lerp:
+            geo.update(range(_SLOT_DC, _SLOT_DC + 3))
     if cfg.n_tris:
         geo.update(range(_SLOT_TRIN, _SLOT_TRIN + 9))
     return (tuple(sorted(shade)), tuple(sorted(geo)),
@@ -1620,7 +1665,7 @@ def _rowsT_m8(cfg: MegaConfig) -> int:
 
 def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
                  bnd_ref, clu_ref, tri_ref, tsieveT_ref, tw_ref, triG_ref,
-                 rowsT_ref, o2w_ref, light_ref,
+                 rowsT_ref, o2w_ref, light_ref, times_ref,
                  pix_ref, rx_ref, ry_ref, rz_ref, tr_ref, it_ref,
                  ti_ref=None, *, cfg: MegaConfig, interpret_trig=False):
     """Persistent-lane path tracer: one lane owns q_pix PIXELS and traces
@@ -1777,10 +1822,21 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
         scnt = scnt + active.astype(jnp.float32)
         iters = iters + 1.0
 
+        if cfg.anim_lerp:
+            # The lane's current sample time: batch shutter times ride a
+            # VMEM [8,128] row (lane b = batch b's time), gathered by
+            # the sample's absolute batch index.  Recomputed per
+            # iteration (a div + one lane gather) — no extra carry.
+            bat = batch0 + sip // cfg.spp_local
+            trow = jnp.broadcast_to(times_ref[0:1, :], (SUB, 128))
+            tcur = jnp.take_along_axis(trow, jnp.clip(bat, 0, 127), axis=1)
+        else:
+            tcur = None
+
         bt, prim, is_sphere, bu, bv, tp = _sweep(
             cfg, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref, clu_ref,
             tri_ref, tsieveT_ref, tw_ref, triG_ref, ray_o, ray_d,
-            active, nzero)
+            active, nzero, tcur=tcur)
         # Controlled profiling ("dup*" tags): run a stage a SECOND time on
         # slightly perturbed input (defeats CSE) and fold its output into
         # `iters` at ~1e-30 (defeats DCE, invisible in diagnostics).
@@ -1791,7 +1847,7 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
             bt2, _, _, _, _, _ = _sweep(
                 cfg, sph_ref, sphT_ref, sieveT_ref, w_ref, bnd_ref, clu_ref,
                 tri_ref, tsieveT_ref, tw_ref, triG_ref, o2, ray_d,
-                active, nzero)
+                active, nzero, tcur=tcur)
             iters = iters + bt2 * 1e-30
         missed = bt >= T_MAX
         acc = vec3.where(active & missed, acc + thr * bg, acc)
@@ -1817,6 +1873,13 @@ def _mega_kernel(cam_ref, prm_ref, sph_ref, sphT_ref, sieveT_ref, w_ref,
             hp = tp
         if cfg.n_spheres:
             c = V3(slots[_SLOT_C], slots[_SLOT_C + 1], slots[_SLOT_C + 2])
+            if cfg.anim_lerp:
+                # fat rows carry endpoint-0 centers; lerp to the
+                # sample's time with the _SLOT_DC motion delta (same
+                # expression as the sweep, so normals match the hit)
+                c = V3(c.x + tcur * slots[_SLOT_DC],
+                       c.y + tcur * slots[_SLOT_DC + 1],
+                       c.z + tcur * slots[_SLOT_DC + 2])
             r = slots[_SLOT_R]
             inv_r = 1.0 / jnp.where(r == 0.0, 1.0, r)
             if cfg.direct_normals:
@@ -2229,6 +2292,8 @@ def build_mega_tables(cfg, static, scene, geom):
         # Lane-gather cluster table: row 4*s+f = field f (cx,cy,cz,k) of
         # the cluster's sphere s, clusters along the lane axis (C<=128).
         # Plain f32 — the gather fetch is bit-exact, no _split3 needed.
+        # anim_lerp: 9 fields per sphere (c0 xyz, k0, dc xyz, k1, k2) —
+        # the kernel lerps c(t) and k(t) at each sample's batch time.
         C, G = cfg.n_clusters, cfg.clu_g
         S8 = geom.sph_table8.shape[0]
         take = min(C * G, S8 - cfg.n_prefix)
@@ -2237,12 +2302,27 @@ def build_mega_tables(cfg, static, scene, geom):
         if pad > 0:
             fill = jnp.zeros((pad, 8), jnp.float32).at[:, 4].set(BIGF)
             grid = jnp.concatenate([grid, fill], axis=0)
-        fields = grid[:, (0, 1, 2, 4)].reshape(C, G * 4).T    # [4G, C]
-        rows4g = -(-(4 * G) // 8) * 8
-        cluT = jnp.zeros((rows4g, 128), jnp.float32)
-        # padding clusters keep k=BIGF so their spheres never hit
-        cluT = cluT.at[3::4, :].set(BIGF)
-        cluT = cluT.at[:4 * G, :C].set(fields)
+        if cfg.anim_lerp:
+            dgrid = geom.sph_dtab8[cfg.n_prefix:cfg.n_prefix + take]
+            if pad > 0:
+                dgrid = jnp.concatenate(
+                    [dgrid, jnp.zeros((pad, 8), jnp.float32)], axis=0)
+            f9 = jnp.concatenate(
+                [grid[:, (0, 1, 2, 4)], dgrid[:, (0, 1, 2, 4, 5)]],
+                axis=1)                                       # [CG, 9]
+            fields = f9.reshape(C, G * 9).T                   # [9G, C]
+            rowsNg = -(-(9 * G) // 8) * 8
+            cluT = jnp.zeros((rowsNg, 128), jnp.float32)
+            # padding clusters keep k0=BIGF so their spheres never hit
+            cluT = cluT.at[3:9 * G:9, :].set(BIGF)
+            cluT = cluT.at[:9 * G, :C].set(fields)
+        else:
+            fields = grid[:, (0, 1, 2, 4)].reshape(C, G * 4).T  # [4G, C]
+            rows4g = -(-(4 * G) // 8) * 8
+            cluT = jnp.zeros((rows4g, 128), jnp.float32)
+            # padding clusters keep k=BIGF so their spheres never hit
+            cluT = cluT.at[3::4, :].set(BIGF)
+            cluT = cluT.at[:4 * G, :C].set(fields)
         bounds = geom.sph_bounds8
     elif cfg.use_sel or cfg.use_sieve:
         bounds, cluT = build_cluster_tables(cfg, geom.sph_table8)
@@ -2282,6 +2362,20 @@ def build_mega_tables(cfg, static, scene, geom):
             # sieveT input slot; see MegaConfig.use_box).  Rows >= C get
             # inverted boxes (te > tx for every ray).
             aabb = cluster_aabbs(grid, C, G)                  # [C, 8]
+            if cfg.anim_lerp:
+                # shutter-conservative union: linear motion means the
+                # swept volume lies inside the union of the endpoint
+                # boxes (c(t) on the [c0, c0+dc] segment; radii fixed).
+                dg = geom.sph_dtab8[cfg.n_prefix:cfg.n_prefix + take]
+                if pad > 0:
+                    dg = jnp.concatenate(
+                        [dg, jnp.zeros((pad, 8), jnp.float32)], axis=0)
+                grid1 = grid.at[:, 0:3].add(dg[:, 0:3])
+                aabb1 = cluster_aabbs(grid1, C, G)
+                aabb = aabb.at[:, 0:3].set(
+                    jnp.minimum(aabb[:, 0:3], aabb1[:, 0:3]))
+                aabb = aabb.at[:, 3:6].set(
+                    jnp.maximum(aabb[:, 3:6], aabb1[:, 3:6]))
             if Cp > C:
                 fill = jnp.zeros((Cp - C, 8), jnp.float32)
                 fill = fill.at[:, 0:3].set(BIGF).at[:, 3:6].set(-BIGF)
@@ -2329,6 +2423,12 @@ def build_mega_tables(cfg, static, scene, geom):
     if cfg.use_sieve or cfg.use_gather or cfg.use_mxu_sweep:
         rows = max(8, -(-cfg.n_prefix // 8) * 8)
         sph_smem = sph_smem[:rows]
+    if cfg.anim_lerp:
+        # anim_lerp: append matching motion rows (dc xyz, -, k1, k2) —
+        # sph_8 reads row si + R for sphere si's deltas (R = half the
+        # table height).
+        sph_smem = jnp.concatenate(
+            [sph_smem, geom.sph_dtab8[:sph_smem.shape[0]]], axis=0)
     o2w = geom.inst_o2w_rows
     if not cfg.has_lights:
         o2w = jnp.zeros((8, 12), jnp.float32)
@@ -2390,7 +2490,7 @@ def build_mega_tables(cfg, static, scene, geom):
 )
 def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
                   sph, sphT, sieveT, w_tbl, bnd, clu, tri, tsieveT, tw_tbl,
-                  triG, o2w, light, pix_tbl, interpret=False):
+                  triG, o2w, light, times, pix_tbl, interpret=False):
     """One pallas_call over n_cells grid cells (n_cells*1024 rays).
 
     Returns (rad V3 of [n_cells*1024], traced [n_cells*1024])."""
@@ -2434,6 +2534,8 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
             (pl.BlockSpec(light.shape, lambda i: (0, 0),
                           memory_space=pltpu.VMEM)            # light gather
              if cfg.light_gather else smem()),                # light [L8,16]
+            pl.BlockSpec(times.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # batch times
             qspec,                                            # pix table
         ],
         out_specs=[qspec, qspec, qspec, qspec,
@@ -2444,7 +2546,7 @@ def mega_dispatch(cfg: MegaConfig, n_cells: int, cam_tbl, params, rowsT,
                   + extra_shape,
         interpret=interpret,
     )(cam_tbl, params, sph, sphT, sieveT, w_tbl, bnd, clu, tri, tsieveT,
-      tw_tbl, triG, rowsT, o2w, light, pix_tbl)
+      tw_tbl, triG, rowsT, o2w, light, times, pix_tbl)
     rx, ry, rz, tr, it = outs[:5]
     flatq = lambda x: x.reshape(n_cells * Q * CELL)
     ti = flatq(outs[5]) if cfg.item_mode else None
@@ -2465,12 +2567,19 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     L = scene.light_prob.shape[0]
     n_prefix = int(getattr(static, "sph_prefix", 0))
     sweep = opts.sweep
+    # Fused animated scenes (SceneStatic.anim_fuse -> MegaConfig.
+    # anim_lerp): in-kernel center/k lerp is implemented for the gather
+    # rounds and the dense scalar sweep; the opt-in sel/sieve/mxu/pair
+    # variants and sample stealing are forced off, and the AABB slab
+    # pretest is forced on (its tables are the shutter-conservative
+    # unions; the bounding-sphere pretest variant has no union form).
+    anim = bool(getattr(static, "anim_fuse", False))
     # Selective sweep (opt-in): under the cost-sorted lane->pixel
     # assignment a cell's rays span the whole image, so cluster traversal
     # pays its AABB pretest + fetch rounds without pruning — measured 137
     # (dense) vs 119 (selective) Mray-bounces/s on final-one-weekend.
     # Wants spatially-coherent assignments (q=1 + tiled perm).
-    use_sel = n_prefix > 0 and sweep == "selective"
+    use_sel = n_prefix > 0 and sweep == "selective" and not anim
     # Cluster sieve (opt-in): MXU bounding-sphere pretest + exact one-hot
     # candidate rounds.  Bit-exact vs the dense scalar sweep and
     # structurally sub-linear, but measured SLOWER than the dense MXU
@@ -2480,7 +2589,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     # much as ~25 dense sphere rows.  Kept as the measured data point
     # for why TPU wavefronts prefer dense MXU sweeps over per-lane
     # BVH-style traversal at these scene sizes.
-    use_sieve = n_prefix > 0 and sweep == "sieve"
+    use_sieve = n_prefix > 0 and sweep == "sieve" and not anim
     G = opts.cluster_g if opts.cluster_g is not None else 4
     n_local = int(static.num_spheres) - n_prefix
     # Gather-round sieve — the round-3 DEFAULT fast path: MXU cluster
@@ -2504,6 +2613,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     # it beats the ~35-op/sphere scalar loop once S is large enough that
     # the loop dominates the iteration.
     use_mxu = (not use_sel and not use_sieve and not use_gather
+               and not anim
                and (sweep == "mxu"
                     or (sweep in ("auto", "gather") and opts.allow_mxu
                         and int(static.num_spheres) >= 64)))
@@ -2521,7 +2631,9 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     # AABB slab pretest: measured default ON (round-4 on-chip ablation:
     # 3.14 vs 3.55 us/cell-iter on final-one-weekend at G=4, 5.46 vs
     # 6.37 at S=1940 combined with blockfori:4).
-    use_box = opts.box if opts.box is not None else True
+    use_box = True if anim else (opts.box if opts.box is not None else True)
+    if anim and balance == "pair":
+        balance = "idle"          # pair rounds have no lerp form
     if balance == "pair":
         # pair mode owns the candidate ordering: bands reshuffle masks
         # mid-sweep, which the rank-parity split predates.  Culling IS
@@ -2570,7 +2682,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
     # and future scenes may cross over.  Never in item mode (each item
     # slot must flush exactly once) or selective mode.
     use_steal = False if opts.steal is None else bool(opts.steal)
-    use_steal = (use_steal and not item_mode and not use_sel
+    use_steal = (use_steal and not item_mode and not use_sel and not anim
                  and "nosteal" not in ablate.split(","))
     if item_mode:
         # Deferred image textures (deferred_image_supported): the kernel
@@ -2598,6 +2710,7 @@ def make_config(static, scene, use_dof: bool, spp_local: int = 0) -> MegaConfig:
         flags=flags,
         item_mode=item_mode,
         use_steal=use_steal,
+        anim_lerp=anim,
         use_sel=use_sel,
         n_prefix=n_prefix,
         clu_g=G,
@@ -2752,6 +2865,7 @@ def render_tile_mega(
     pix_perm=None,
     n_batches: int = 1,
     q_pix: int = 1,
+    times_row=None,
 ):
     """Megakernel drop-in for engine.wavefront.render_tile (same contract:
     (tile [rows, W, 3], rays_traced)).
@@ -2819,10 +2933,16 @@ def render_tile_mega(
 
     (rowsT, sph, sphT, sieveT, w_tbl, bnd, clu, tri, tsieveT, tw_tbl,
      triG, o2w, light) = build_mega_tables(cfg, static, scene, geom)
+    if times_row is None:
+        times_row = jnp.zeros((8, 128), jnp.float32)
+    else:
+        times_row = jnp.asarray(times_row, jnp.float32).reshape(1, -1)
+        times_row = jnp.pad(
+            times_row, ((0, 7), (0, 128 - times_row.shape[1])))
     psum, traced, iters, ti = mega_dispatch(
         cfg, n_cells, cam_tbl, params, rowsT, sph, sphT, sieveT, w_tbl,
-        bnd, clu, tri, tsieveT, tw_tbl, triG, o2w, light, pix_tbl2,
-        interpret=interpret,
+        bnd, clu, tri, tsieveT, tw_tbl, triG, o2w, light, times_row,
+        pix_tbl2, interpret=interpret,
     )
     rays_traced = jnp.sum(traced)
 
