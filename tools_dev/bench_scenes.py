@@ -117,6 +117,20 @@ def main():
     import jax
 
     backend = jax.default_backend()
+    # Deterministic kernel fingerprint gate (round-4 verdict weak #5):
+    # refuse to write perf rows over a silent numeric drift.  An
+    # intentional kernel change re-records first
+    # (python tools_dev/fingerprint.py --record) and says so in the
+    # commit.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import fingerprint as _fp
+
+    fp_ok, _msgs = _fp.check()
+    if not fp_ok:
+        print("FINGERPRINT DRIFT — refusing to write BENCH_SCENES.json "
+              "(re-record with tools_dev/fingerprint.py --record if the "
+              "kernel change is intentional)")
+        sys.exit(1)
     out = {"backend": backend, "scenes": {}}
     for name in SCENES:
         width = 512 if name in SLOW else 1024
