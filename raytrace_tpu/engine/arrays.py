@@ -105,7 +105,7 @@ class SceneStatic:
     width: int
     height: int
     # BVH geometry ("none" → brute-force tracer)
-    bvh_mode: str = "none"        # "none" | "implicit" | "sah"
+    bvh_mode: str = "none"        # "none" | "implicit" | "sah" | "paged"
     bvh_num_leaves: int = 0
     bvh_leaf_size: int = 4
     bvh_stack_depth: int = 0

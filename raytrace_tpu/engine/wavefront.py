@@ -125,13 +125,30 @@ def make_trace_fn(static: SceneStatic, scene: SceneArrays,
     world_p = geom.world_p
     s_pad = scene.sph_center.shape[0]
 
+    paged_tabs = None
+    if use_tris and static.bvh_mode == "paged":
+        # Page tables ride BatchGeometry (host-precomputed for static
+        # scenes, per-batch refit for animated ones); tw is a host
+        # constant keyed by the static triangle count.
+        from ..ops.pallas_paged_tri import build_page_valid
+
+        _tw = jnp.asarray(build_page_valid(static.num_triangles))
+        paged_tabs = (_tw, geom.tri_psieve, geom.tri_pageG)
+
     def trace(o: V3, d: V3, alive) -> RawHit:
         R = o.x.shape[0]
         t_best = jnp.full((R,), T_MAX, jnp.float32)
 
         tri_hit = None
         if use_tris:
-            if static.bvh_mode == "sah":
+            if static.bvh_mode == "paged":
+                from ..ops.pallas_paged_tri import intersect_tris_paged
+
+                tri_hit = intersect_tris_paged(
+                    o, d, *paged_tabs, active=alive,
+                    interpret=static.pallas_interpret,
+                )
+            elif static.bvh_mode == "sah":
                 from ..ops.bvh import BVHArrays, pack_world_tris, traverse_sah
 
                 v0, e1, e2 = pack_world_tris(world_p)
@@ -741,11 +758,17 @@ class BatchGeometry(NamedTuple):
     # col 5 k2 = |dc|^2 (ops/spheres.world_sphere_anim_tables).  Zeros
     # ([8,8]) everywhere else.
     sph_dtab8: jnp.ndarray = None
+    # Paged triangle sweep (static.bvh_mode == "paged"): page tables
+    # [NP,9G,128] / [NP,128,8] (ops/pallas_paged_tri.build_page_tables);
+    # None on every other path.
+    tri_pageG: jnp.ndarray = None
+    tri_psieve: jnp.ndarray = None
 
 
 def prepare_batch(static: SceneStatic, scene: SceneArrays,
                   batch_time: jnp.ndarray,
-                  sph_table=None, sph_dtab=None) -> BatchGeometry:
+                  sph_table=None, sph_dtab=None,
+                  paged_tabs=None) -> BatchGeometry:
     """Interpolate instance transforms to the batch ray time and re-transform
     the triangle soup — the replacement for the reference's per-batch TLAS
     refit (acceleration.rs:91-115).  One jit'd call per batch.
@@ -854,12 +877,24 @@ def prepare_batch(static: SceneStatic, scene: SceneArrays,
 
     sph_dtab8 = (jnp.asarray(sph_dtab, jnp.float32) if sph_dtab is not None
                  else jnp.zeros((8, 8), jnp.float32))
+    tri_pageG = tri_psieve = None
+    if static.has_tris and static.bvh_mode == "paged":
+        if paged_tabs is not None:
+            # static scenes: host-precomputed at Renderer init (the
+            # layout transpose of a 2M-tri table costs seconds on-device)
+            tri_pageG, tri_psieve = paged_tabs
+        else:
+            from ..ops.pallas_paged_tri import build_page_tables
+
+            tri_pageG, tri_psieve = build_page_tables(
+                world_p, static.num_triangles)
     return BatchGeometry(inst_mats=inst_mats, world_p=world_p, world_n=world_n,
                          sph_w2o=sph_w2o, sph_table=jnp.asarray(sph_table),
                          sph_table8=sph_table8, sph_bounds8=sph_bounds8,
                          tri_table16=tri_table16,
                          tri_attr16=tri_attr16, prim_rows=prim_rows,
-                         inst_o2w_rows=inst_o2w_rows, sph_dtab8=sph_dtab8)
+                         inst_o2w_rows=inst_o2w_rows, sph_dtab8=sph_dtab8,
+                         tri_pageG=tri_pageG, tri_psieve=tri_psieve)
 
 
 def render_tile_step(

@@ -23,7 +23,7 @@ def main():
     W = int(os.environ.get("DB_W", "1200"))
     H = int(os.environ.get("DB_H", "675"))
     tags = os.environ.get(
-        "DB_TAGS", ",norounds,norows,noshade,nonee,noregen").split(",")
+        "DB_TAGS", ";norounds;norows;noshade;nonee;noregen").split(";")
 
     from raytrace_tpu.engine import Renderer
     from raytrace_tpu.engine.wavefront import prepare_batch
